@@ -1,0 +1,22 @@
+from pcl_tpu.core.cloud import (
+    Cloud,
+    make_cloud,
+    from_numpy,
+    to_numpy,
+    concat,
+    compact,
+    compact_indices,
+)
+from pcl_tpu.core import geometry, transforms
+
+__all__ = [
+    "Cloud",
+    "make_cloud",
+    "from_numpy",
+    "to_numpy",
+    "concat",
+    "compact",
+    "compact_indices",
+    "geometry",
+    "transforms",
+]

@@ -1,0 +1,31 @@
+from pcl_tpu.io.pcd import load as load_pcd, save as save_pcd
+from pcl_tpu.io import lzf
+
+__all__ = ["load_pcd", "save_pcd", "lzf"]
+
+
+def load(path, **kw):
+    """Auto-dispatch by extension (reference: io/include/pcl/io/auto_io.h)."""
+    p = str(path).lower()
+    if p.endswith(".pcd"):
+        return load_pcd(path, **kw)
+    if p.endswith(".ply"):
+        from pcl_tpu.io.ply import load as load_ply
+        return load_ply(path, **kw)
+    if p.endswith(".xyz") or p.endswith(".txt"):
+        from pcl_tpu.io.ascii import load as load_ascii
+        return load_ascii(path, **kw)
+    if p.endswith(".obj"):
+        from pcl_tpu.io.obj import load as load_obj
+        return load_obj(path, **kw)
+    raise ValueError(f"unknown point-cloud file extension: {path}")
+
+
+def save(path, cloud, **kw):
+    p = str(path).lower()
+    if p.endswith(".pcd"):
+        return save_pcd(path, cloud, **kw)
+    if p.endswith(".ply"):
+        from pcl_tpu.io.ply import save as save_ply
+        return save_ply(path, cloud, **kw)
+    raise ValueError(f"unknown point-cloud file extension: {path}")
