@@ -1,0 +1,63 @@
+"""Headline benchmark: ICP iterations/sec on a KITTI-scale (120k pt) pair.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 5.92 iters/sec CPU kd-tree proxy (see BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+CPU_BASELINE_ITERS_PER_SEC = 5.92
+N = 120_000
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pcl_tpu.core.cloud import Cloud
+    from pcl_tpu.registration.icp import icp
+
+    rng = np.random.default_rng(0)
+    tgt = rng.uniform(-50, 50, size=(N, 3)).astype(np.float32)
+    src = tgt + rng.normal(scale=0.05, size=(N, 3)).astype(np.float32)
+
+    src_c = Cloud(xyz=jnp.asarray(src), mask=jnp.ones((N,), bool))
+    tgt_c = Cloud(xyz=jnp.asarray(tgt), mask=jnp.ones((N,), bool))
+
+    def run():
+        # eps=0 disables early convergence so exactly ITERS iterations run
+        return icp(
+            src_c, tgt_c,
+            max_iterations=ITERS,
+            transformation_eps=0.0,
+            abs_mse_eps=0.0,
+            rel_mse_eps=0.0,
+        )
+
+    # compile + warmup
+    res = run()
+    jax.block_until_ready(res.transform)
+    assert int(res.iterations) == ITERS
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run()
+        jax.block_until_ready(res.transform)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    iters_per_sec = ITERS / best
+
+    print(json.dumps({
+        "metric": f"icp_iters_per_sec_{N//1000}k",
+        "value": round(iters_per_sec, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_sec / CPU_BASELINE_ITERS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+from pcl_tpu.filters.voxel_grid import voxel_downsample, uniform_sample
+from pcl_tpu.filters.passthrough import pass_through, crop_box, function_filter, clip_plane
+from pcl_tpu.filters.outliers import statistical_outlier_removal, radius_outlier_removal
+from pcl_tpu.filters.sampling import random_sample, farthest_point_sample, normal_space_sample
+
+__all__ = [
+    "voxel_downsample",
+    "uniform_sample",
+    "pass_through",
+    "crop_box",
+    "function_filter",
+    "clip_plane",
+    "statistical_outlier_removal",
+    "radius_outlier_removal",
+    "random_sample",
+    "farthest_point_sample",
+    "normal_space_sample",
+]

@@ -1,0 +1,57 @@
+"""Statistical / radius outlier removal.
+
+- statistical_outlier_removal: reference filters/include/pcl/filters/
+  statistical_outlier_removal.h:82,112-142 — per-point mean distance to its
+  k nearest neighbors; points beyond global mean + mult * stddev are dropped.
+- radius_outlier_removal: reference radius_outlier_removal.h — points with
+  fewer than min_neighbors within radius are dropped.
+
+Both are one fused batched search + masked reduction on TPU instead of a
+per-point tree-query loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pcl_tpu.core.cloud import Cloud
+from pcl_tpu.search import bruteforce
+
+
+def statistical_outlier_removal(
+    cloud: Cloud,
+    mean_k: int = 50,
+    stddev_mult: float = 1.0,
+    negative: bool = False,
+) -> Cloud:
+    """Drop points whose mean-kNN-distance exceeds mean + mult*stddev."""
+    # k+1 because the query cloud is the target cloud: slot 0 is the point itself
+    idx, d2, valid = bruteforce.knn(cloud.xyz, cloud.mask, cloud.xyz, mean_k + 1)
+    d = jnp.sqrt(jnp.maximum(d2[:, 1:], 0.0))
+    v = valid[:, 1:]
+    mean_d = jnp.sum(jnp.where(v, d, 0.0), axis=1) / jnp.maximum(jnp.sum(v, axis=1), 1)
+    m = cloud.mask
+    n = jnp.maximum(jnp.sum(m), 1)
+    g_mean = jnp.sum(jnp.where(m, mean_d, 0.0)) / n
+    g_var = jnp.sum(jnp.where(m, (mean_d - g_mean) ** 2, 0.0)) / jnp.maximum(n - 1, 1)
+    thresh = g_mean + stddev_mult * jnp.sqrt(g_var)
+    keep = mean_d <= thresh
+    if negative:
+        keep = ~keep
+    return cloud.with_mask(keep)
+
+
+def radius_outlier_removal(
+    cloud: Cloud,
+    radius: float,
+    min_neighbors: int = 1,
+    negative: bool = False,
+) -> Cloud:
+    """Drop points with fewer than min_neighbors others within radius."""
+    cap = 1  # we only need the count, not the neighbor list
+    _, _, _, count = bruteforce.radius(cloud.xyz, cloud.mask, cloud.xyz, radius, cap)
+    keep = (count - 1) >= min_neighbors  # subtract self
+    if negative:
+        keep = ~keep
+    return cloud.with_mask(keep)

@@ -1,0 +1,102 @@
+"""Voxel-grid downsampling — sort-based segment reduction.
+
+TPU-native re-design of PCL's VoxelGrid (reference: filters/include/pcl/
+filters/voxel_grid.h:221; algorithm at impl/voxel_grid.hpp:597-725: leaf
+index per point -> integer spreadsort -> segment-mean centroids). Here the
+same idea in fixed shapes: lexicographic device sort of integer cell coords
+(no linear key, so no 32-bit leaf-count overflow guard needed — reference
+voxel_grid.hpp:722), boundary flags -> segment ids -> segment_sum centroids.
+
+Output capacity equals input capacity (XLA static shapes); the valid voxel
+centroids occupy the first ``count`` rows (compacted), rest is masked padding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pcl_tpu.core.cloud import Cloud
+
+_I32_BIG = jnp.int32(2**31 - 1)
+
+
+def _sorted_cell_segments(xyz, mask, leaf_size) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sort points by voxel cell; return (order [N], seg_id [N], first_flag [N])
+    where seg_id numbers distinct cells among the sorted VALID points."""
+    leaf = jnp.asarray(leaf_size, jnp.float32)
+    leaf = jnp.broadcast_to(leaf, (3,))
+    coords = jnp.floor(xyz / leaf).astype(jnp.int32)
+    coords = jnp.where(mask[:, None], coords, _I32_BIG)  # invalid last
+    order = jnp.lexsort((coords[:, 0], coords[:, 1], coords[:, 2]))
+    cs = coords[order]
+    prev = jnp.roll(cs, 1, axis=0)
+    first = jnp.any(cs != prev, axis=1)
+    first = first.at[0].set(True)
+    first = first & mask[order]
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg_id = jnp.where(mask[order], seg_id, xyz.shape[0] - 1)
+    return order, seg_id, first
+
+
+@partial(jax.jit, static_argnames=("average_attrs",))
+def voxel_downsample(cloud: Cloud, leaf_size, average_attrs: bool = True) -> Cloud:
+    """Replace all points in each voxel by their centroid.
+
+    ``leaf_size`` is scalar or per-axis [3]. Attributes are averaged per
+    voxel when ``average_attrs`` (PCL's downsample_all_data), else dropped.
+    """
+    n = cloud.capacity
+    order, seg_id, first = _sorted_cell_segments(cloud.xyz, cloud.mask, leaf_size)
+    m = cloud.mask[order].astype(jnp.float32)
+    xyz_s = cloud.xyz[order] * m[:, None]
+    sums = jax.ops.segment_sum(xyz_s, seg_id, num_segments=n)
+    counts = jax.ops.segment_sum(m, seg_id, num_segments=n)
+    n_voxels = jnp.sum(first.astype(jnp.int32))
+    lane = jnp.arange(n, dtype=jnp.int32)
+    out_mask = lane < n_voxels
+    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    centroids = jnp.where(out_mask[:, None], centroids, 0.0)
+    attrs = {}
+    if average_attrs:
+        for k, v in cloud.attrs.items():
+            vs = v[order].astype(jnp.float32)
+            mm = m.reshape((-1,) + (1,) * (vs.ndim - 1))
+            s = jax.ops.segment_sum(vs * mm, seg_id, num_segments=n)
+            a = s / jnp.maximum(counts, 1.0).reshape((-1,) + (1,) * (vs.ndim - 1))
+            om = out_mask.reshape((-1,) + (1,) * (vs.ndim - 1))
+            attrs[k] = jnp.where(om, a, 0.0).astype(
+                v.dtype if jnp.issubdtype(v.dtype, jnp.floating) else jnp.float32
+            )
+    return Cloud(xyz=centroids, mask=out_mask, attrs=attrs, width=0, height=1)
+
+
+@jax.jit
+def uniform_sample(cloud: Cloud, leaf_size) -> Cloud:
+    """Keep, per voxel, the input point closest to the voxel center
+    (reference: filters/include/pcl/filters/uniform_sampling.h semantics).
+    Unlike voxel_downsample the output points are actual input points."""
+    n = cloud.capacity
+    leaf = jnp.broadcast_to(jnp.asarray(leaf_size, jnp.float32), (3,))
+    order, seg_id, first = _sorted_cell_segments(cloud.xyz, cloud.mask, leaf)
+    xyz_s = cloud.xyz[order]
+    center = (jnp.floor(xyz_s / leaf) + 0.5) * leaf
+    d = jnp.sum((xyz_s - center) ** 2, axis=-1)
+    d = jnp.where(cloud.mask[order], d, jnp.inf)
+    best = jax.ops.segment_min(d, seg_id, num_segments=n)
+    is_best = (d == best[seg_id]) & cloud.mask[order]
+    # tie-break: keep only the first best within each segment
+    pos = jnp.arange(n)
+    first_best = jax.ops.segment_min(jnp.where(is_best, pos, n), seg_id, num_segments=n)
+    keep_sorted = pos == first_best[seg_id]
+    n_voxels = jnp.sum(first.astype(jnp.int32))
+    # representative original index per segment, compacted to the front
+    rep = jax.ops.segment_sum(
+        jnp.where(keep_sorted, order, 0), seg_id, num_segments=n
+    ).astype(jnp.int32)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    valid = lane < n_voxels
+    return cloud.take(rep, valid=valid)

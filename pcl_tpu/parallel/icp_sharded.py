@@ -1,0 +1,156 @@
+"""Multi-chip ICP: source points sharded, target replicated, psum reductions.
+
+The distributed form of the registration/icp.py loop (SURVEY §2.15's
+"6x6 normal equations reduce cleanly"): each device matches its shard of the
+source against the (replicated) target, accumulates either Umeyama moments
+(point-to-point) or the 6x6 point-to-plane system locally, and a psum over
+ICI produces identical global statistics on every device — the transform
+update is then computed redundantly (replicated), avoiding any broadcast.
+
+Communication per iteration: one psum of ~60 floats. Scaling is limited only
+by the nn sweep, which is embarrassingly parallel over source points.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pcl_tpu.core.transforms import se3_exp, transform_points
+from pcl_tpu.parallel.mesh import POINTS_AXIS
+from pcl_tpu.search import bruteforce
+
+_EPS = 1e-12
+
+
+def _umeyama_from_moments(S0, Ss, Sd, M):
+    """Rigid transform from psum-able moments: S0=sum w, Ss=sum w*src,
+    Sd=sum w*dst, M=sum w * dst src^T. Algebraically identical to
+    geometry.umeyama (H = M - Sd Ss^T / S0)."""
+    S0 = jnp.maximum(S0, _EPS)
+    mu_s = Ss / S0
+    mu_d = Sd / S0
+    H = M - jnp.outer(mu_d, Ss)
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    D = jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * d
+    R = (U * D[None, :]) @ Vt
+    t = mu_d - R @ mu_s
+    T = jnp.eye(4, dtype=H.dtype)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(t)
+    return T
+
+
+def _local_moments(src_t, src_mask, tgt_xyz, tgt_mask, tgt_normals, max_corr_dist,
+                   variant: str):
+    """Per-shard correspondence + statistics. Returns a flat stats pytree
+    that is summed across devices."""
+    idx, d2 = bruteforce.nn1(tgt_xyz, tgt_mask, src_t)
+    valid = src_mask & jnp.isfinite(d2) & (d2 <= max_corr_dist**2)
+    w = valid.astype(jnp.float32)
+    dst = tgt_xyz[jnp.clip(idx, 0, tgt_xyz.shape[0] - 1)]
+    stats = {
+        "n": jnp.sum(w),
+        "sse": jnp.sum(w * d2),
+    }
+    if variant == "point_to_point":
+        stats.update(
+            S0=jnp.sum(w),
+            Ss=jnp.sum(src_t * w[:, None], axis=0),
+            Sd=jnp.sum(dst * w[:, None], axis=0),
+            M=jnp.einsum("ni,nj->ij", dst * w[:, None], src_t),
+        )
+    else:  # point_to_plane
+        nrm = tgt_normals[jnp.clip(idx, 0, tgt_xyz.shape[0] - 1)]
+        r = jnp.sum(nrm * (src_t - dst), axis=-1)
+        J = jnp.concatenate([nrm, jnp.cross(src_t, nrm)], axis=-1)
+        Jw = J * w[:, None]
+        stats.update(JtJ=J.T @ Jw, Jtr=Jw.T @ r)
+    return stats
+
+
+def _update_from_stats(stats, T, variant: str):
+    if variant == "point_to_point":
+        T_delta = _umeyama_from_moments(stats["S0"], stats["Ss"], stats["Sd"], stats["M"])
+    else:
+        H = stats["JtJ"] + 1e-9 * jnp.trace(stats["JtJ"]) * jnp.eye(6)
+        xi = jnp.linalg.solve(H, -stats["Jtr"])
+        T_delta = se3_exp(xi)
+    ok = stats["n"] >= 3
+    T_delta = jnp.where(ok, T_delta, jnp.eye(4))
+    mse = stats["sse"] / jnp.maximum(stats["n"], 1.0)
+    return T_delta @ T, mse
+
+
+def sharded_icp_step(
+    mesh: Mesh,
+    variant: str = "point_to_point",
+    axis: str = POINTS_AXIS,
+):
+    """Build a jittable one-iteration ICP step over ``mesh``.
+
+    Returns step(src_xyz [N,3] sharded, src_mask [N], tgt_xyz [M,3] repl,
+    tgt_mask, tgt_normals (or zeros), T [4,4], max_corr_dist) ->
+    (T_new, mse). Call under jit with these shardings.
+    """
+    def shard_body(src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals, T, max_corr_dist):
+        src_t = transform_points(T, src_xyz)
+        stats = _local_moments(
+            src_t, src_mask, tgt_xyz, tgt_mask, tgt_normals, max_corr_dist, variant
+        )
+        stats = jax.tree.map(lambda x: jax.lax.psum(x, axis), stats)
+        return _update_from_stats(stats, T, variant)
+
+    spec_pt = P(axis)
+    return jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(spec_pt, spec_pt, P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+
+def sharded_icp(
+    mesh: Mesh,
+    src_xyz, src_mask, tgt_xyz, tgt_mask,
+    tgt_normals=None,
+    init_transform=None,
+    max_corr_dist=jnp.inf,
+    max_iterations: int = 30,
+    variant: str = "point_to_point",
+    axis: str = POINTS_AXIS,
+):
+    """Full multi-chip ICP loop (lax.while_loop around sharded_icp_step's
+    body, inside one jit). Returns (T, mse, iterations)."""
+    step = sharded_icp_step(mesh, variant, axis)
+    if init_transform is None:
+        init_transform = jnp.eye(4, dtype=jnp.float32)
+    if tgt_normals is None:
+        tgt_normals = jnp.zeros_like(tgt_xyz)
+
+    @jax.jit
+    def run(src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals, T0):
+        def body(state):
+            it, T, _ = state
+            T_new, mse = step(
+                src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals, T,
+                jnp.float32(max_corr_dist),
+            )
+            return it + 1, T_new, mse
+
+        def cond(state):
+            return state[0] < max_iterations
+
+        it, T, mse = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), T0, jnp.float32(jnp.inf))
+        )
+        return T, mse, it
+
+    return run(src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
+               init_transform.astype(jnp.float32))

@@ -1,0 +1,195 @@
+"""Iterative Closest Point — the canonical registration loop, fully on device.
+
+Re-design of pcl::IterativeClosestPoint (reference: registration/impl/
+icp.hpp:115-267 and the hot loop :164-239). PCL's per-iteration structure —
+correspondence search, rejection, estimation, convergence check — becomes the
+body of a single ``jax.lax.while_loop`` under jit: zero host round-trips,
+correspondences from an MXU-tiled 1-NN sweep, estimation a closed-form
+masked reduction.
+
+Variants (reference icp.h bottom / icp_nl.h):
+- "point_to_point": SVD/Umeyama estimation (classic ICP)
+- "point_to_plane": linearized LLS on target normals
+  (IterativeClosestPointWithNormals)
+- "symmetric": symmetric point-to-plane (needs source + target normals)
+
+Convergence mirrors DefaultConvergenceCriteria (reference:
+registration/include/pcl/registration/default_convergence_criteria.h:65-79):
+max iterations / transform increment epsilon (translation + rotation) /
+absolute or relative MSE. State codes in ICPResult.convergence_state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pcl_tpu.core.cloud import Cloud, ATTR_NORMAL
+from pcl_tpu.core.transforms import transform_points, transform_cloud, rotation_angle
+from pcl_tpu.registration import correspondence as corr_mod
+from pcl_tpu.registration import estimation
+
+# convergence_state codes
+CONV_RUNNING = 0
+CONV_ITERATIONS = 1
+CONV_TRANSFORM = 2
+CONV_ABS_MSE = 3
+CONV_REL_MSE = 4
+CONV_FAILED_CORRESPONDENCES = -1
+
+
+class ICPResult(NamedTuple):
+    transform: jax.Array            # [4,4] final source -> target transform
+    converged: jax.Array            # bool
+    iterations: jax.Array           # int32
+    fitness: jax.Array              # f32 mean squared correspondence distance
+    num_correspondences: jax.Array  # int32 at the final iteration
+    convergence_state: jax.Array    # int32, CONV_* code
+
+
+def _gather(tgt: jax.Array, idx: jax.Array) -> jax.Array:
+    return tgt[jnp.clip(idx, 0, tgt.shape[0] - 1)]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "variant", "reciprocal", "min_correspondences"),
+)
+def icp(
+    source: Cloud,
+    target: Cloud,
+    init_transform: Optional[jax.Array] = None,
+    *,
+    max_corr_dist: float = jnp.inf,
+    max_iterations: int = 50,
+    transformation_eps: float = 0.0,
+    abs_mse_eps: float = 1e-12,
+    rel_mse_eps: float = 1e-8,
+    variant: str = "point_to_point",
+    reciprocal: bool = False,
+    min_correspondences: int = 3,
+) -> ICPResult:
+    """Align ``source`` onto ``target``; returns the 4x4 transform + stats.
+
+    All tolerances follow the reference defaults; ``transformation_eps``
+    doubles as translation(^2) and (1-cos rotation) thresholds like
+    Registration::setTransformationEpsilon feeding DefaultConvergenceCriteria.
+    """
+    if init_transform is None:
+        init_transform = jnp.eye(4, dtype=jnp.float32)
+    needs_tn = variant in ("point_to_plane", "symmetric")
+    if needs_tn and ATTR_NORMAL not in target.attrs:
+        raise ValueError(f"icp variant {variant!r} requires target normals")
+    if variant == "symmetric" and ATTR_NORMAL not in source.attrs:
+        raise ValueError("symmetric icp requires source normals")
+
+    det = corr_mod.determine_reciprocal_correspondences if reciprocal \
+        else corr_mod.determine_correspondences
+
+    sx, sm = source.xyz, source.mask
+    tx, tm = target.xyz, target.mask
+    tn = target.attrs.get(ATTR_NORMAL)
+    sn = source.attrs.get(ATTR_NORMAL)
+
+    def iteration(T):
+        """One ICP iteration from accumulated transform T. Returns
+        (T_new, mse, n_corr)."""
+        src_t = transform_points(T, sx)
+        c = det(src_t, sm, tx, tm, max_corr_dist)
+        w = c.valid.astype(jnp.float32)
+        n_corr = jnp.sum(c.valid.astype(jnp.int32))
+        dst = _gather(tx, c.index)
+        if variant == "point_to_point":
+            T_delta = estimation.estimate_svd(src_t, dst, w)
+        elif variant == "point_to_plane":
+            nrm = _gather(tn, c.index)
+            T_delta = estimation.estimate_point_to_plane(src_t, dst, nrm, w)
+        elif variant == "symmetric":
+            R = T[:3, :3]
+            sn_t = sn @ R.T
+            nrm = _gather(tn, c.index)
+            T_delta = estimation.estimate_symmetric_point_to_plane(src_t, sn_t, dst, nrm, w)
+        else:
+            raise ValueError(f"unknown icp variant {variant!r}")
+        mse = jnp.sum(w * c.sqdist) / jnp.maximum(jnp.sum(w), 1.0)
+        # degenerate: too few correspondences -> freeze
+        ok = n_corr >= min_correspondences
+        T_delta = jnp.where(ok, T_delta, jnp.eye(4, dtype=T.dtype))
+        return T_delta @ T, T_delta, mse, n_corr, ok
+
+    def cond(state):
+        it, T, prev_mse, mse, n_corr, code = state
+        return (it < max_iterations) & (code == CONV_RUNNING)
+
+    def body(state):
+        it, T, prev_mse, mse, n_corr, code = state
+        T_new, T_delta, mse_new, n_corr_new, ok = iteration(T)
+        it = it + 1
+        # convergence checks on the increment (reference
+        # default_convergence_criteria.h:72-79)
+        t2 = jnp.sum(T_delta[:3, 3] ** 2)
+        cos_r = jnp.clip((jnp.trace(T_delta[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        small_transform = (t2 <= transformation_eps) & ((1.0 - cos_r) <= transformation_eps)
+        small_transform = small_transform & (transformation_eps > 0.0)
+        abs_ok = jnp.abs(mse_new - mse) < abs_mse_eps
+        rel_ok = jnp.abs(mse_new - mse) < rel_mse_eps * jnp.abs(mse)
+        code = jnp.where(
+            ~ok,
+            CONV_FAILED_CORRESPONDENCES,
+            jnp.where(
+                small_transform,
+                CONV_TRANSFORM,
+                jnp.where(
+                    abs_ok & (it > 1),
+                    CONV_ABS_MSE,
+                    jnp.where(
+                        rel_ok & (it > 1),
+                        CONV_REL_MSE,
+                        jnp.where(it >= max_iterations, CONV_ITERATIONS, CONV_RUNNING),
+                    ),
+                ),
+            ),
+        ).astype(jnp.int32)
+        return (it, T_new, mse, mse_new, n_corr_new, code)
+
+    state0 = (
+        jnp.int32(0),
+        init_transform.astype(jnp.float32),
+        jnp.float32(jnp.inf),
+        jnp.float32(jnp.inf),
+        jnp.int32(0),
+        jnp.int32(CONV_RUNNING),
+    )
+    it, T, prev_mse, mse, n_corr, code = jax.lax.while_loop(cond, body, state0)
+    converged = code > 0
+    return ICPResult(
+        transform=T,
+        converged=converged,
+        iterations=it,
+        fitness=mse,
+        num_correspondences=n_corr,
+        convergence_state=code,
+    )
+
+
+def fitness_score(
+    source: Cloud, target: Cloud, transform: jax.Array, max_range: float = jnp.inf
+) -> jax.Array:
+    """Mean squared distance to nearest target point under ``transform``
+    (reference: Registration::getFitnessScore, registration/impl/
+    registration.hpp — mean of squared NN distances below max_range)."""
+    src_t = transform_points(transform, source.xyz)
+    c = corr_mod.determine_correspondences(src_t, source.mask, target.xyz, target.mask, max_range)
+    w = c.valid.astype(jnp.float32)
+    return jnp.sum(w * c.sqdist) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def align(source: Cloud, target: Cloud, **kw):
+    """Run ICP and return (aligned_source_cloud, ICPResult) — the
+    Registration::align(output) convenience (reference: registration.hpp:172)."""
+    res = icp(source, target, **kw)
+    return transform_cloud(res.transform, source), res

@@ -4,10 +4,17 @@ has no distributed-test pattern — SURVEY.md §4 — this is ours)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The driver image's sitecustomize imports jax at interpreter startup to
+# register the TPU plugin, so env vars set here are too late for jax.config's
+# env reads — use config updates (XLA_FLAGS is still read lazily at CPU
+# client init, so setting it here works).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,126 @@
+"""Search backend tests — replicates the reference's oracle strategy
+(test/search/test_search.cpp:114-535): every backend validated against
+brute force on random and fixture clouds, with masked subsets."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcl_tpu import search
+from pcl_tpu.io import pcd
+from pcl_tpu.search import bruteforce, hashgrid
+from tests.conftest import reference_pcd
+
+
+def numpy_knn(target, tmask, queries, k):
+    d = ((queries[:, None] - target[None]) ** 2).sum(-1)
+    d[:, ~tmask] = np.inf
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return idx, np.take_along_axis(d, idx, axis=1)
+
+
+class TestBruteForce:
+    def test_knn_matches_numpy(self, rng):
+        target = rng.normal(size=(500, 3)).astype(np.float32)
+        tmask = rng.random(500) < 0.8
+        queries = rng.normal(size=(100, 3)).astype(np.float32)
+        idx, d2, valid = bruteforce.knn(
+            jnp.asarray(target), jnp.asarray(tmask), jnp.asarray(queries), 5
+        )
+        ref_idx, ref_d = numpy_knn(target, tmask, queries, 5)
+        np.testing.assert_allclose(np.asarray(d2), ref_d, atol=1e-4)
+        assert np.asarray(valid).all()
+
+    def test_nn1_matches_knn(self, rng):
+        target = rng.normal(size=(1000, 3)).astype(np.float32)
+        tmask = np.ones(1000, bool)
+        queries = rng.normal(size=(300, 3)).astype(np.float32)
+        i1, d1 = bruteforce.nn1(jnp.asarray(target), jnp.asarray(tmask), jnp.asarray(queries))
+        ik, dk, _ = bruteforce.knn(jnp.asarray(target), jnp.asarray(tmask), jnp.asarray(queries), 1)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(ik)[:, 0])
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(dk)[:, 0], atol=1e-5)
+
+    def test_radius_counts(self, rng):
+        target = rng.uniform(-1, 1, size=(400, 3)).astype(np.float32)
+        tmask = np.ones(400, bool)
+        queries = target[:50]
+        r = 0.3
+        idx, d2, valid, count = bruteforce.radius(
+            jnp.asarray(target), jnp.asarray(tmask), jnp.asarray(queries), r, cap=64
+        )
+        d_ref = ((queries[:, None] - target[None]) ** 2).sum(-1)
+        ref_count = (d_ref <= r * r).sum(1)
+        np.testing.assert_array_equal(np.asarray(count), ref_count)
+        # all returned neighbors genuinely in radius
+        d2v = np.asarray(d2)[np.asarray(valid)]
+        assert (d2v <= r * r + 1e-6).all()
+
+    def test_all_invalid_target(self, rng):
+        target = rng.normal(size=(10, 3)).astype(np.float32)
+        queries = rng.normal(size=(5, 3)).astype(np.float32)
+        idx, d2, valid = bruteforce.knn(
+            jnp.asarray(target), jnp.zeros(10, bool), jnp.asarray(queries), 3
+        )
+        assert not np.asarray(valid).any()
+
+
+class TestHashGrid:
+    def test_radius_exact_vs_oracle(self, rng):
+        target = rng.uniform(-1, 1, size=(2000, 3)).astype(np.float32)
+        tmask = rng.random(2000) < 0.9
+        queries = rng.uniform(-1, 1, size=(200, 3)).astype(np.float32)
+        r = 0.15
+        grid = hashgrid.build(jnp.asarray(target), jnp.asarray(tmask), cell_size=r)
+        idx, d2, valid, count, trunc = hashgrid.radius(grid, jnp.asarray(queries), r, cap=128)
+        assert not np.asarray(trunc).any()
+        bidx, bd2, bvalid, bcount = bruteforce.radius(
+            jnp.asarray(target), jnp.asarray(tmask), jnp.asarray(queries), r, cap=128
+        )
+        np.testing.assert_array_equal(np.asarray(count), np.asarray(bcount))
+        # same neighbor sets (sorted indices where valid)
+        for i in range(200):
+            got = sorted(np.asarray(idx)[i][np.asarray(valid)[i]].tolist())
+            want = sorted(np.asarray(bidx)[i][np.asarray(bvalid)[i]].tolist())
+            assert got == want, f"query {i}"
+
+    def test_knn_within_cell_exact(self, rng):
+        target = rng.uniform(-1, 1, size=(3000, 3)).astype(np.float32)
+        tmask = np.ones(3000, bool)
+        queries = target[:100] + rng.normal(scale=0.01, size=(100, 3)).astype(np.float32)
+        cell = 0.25
+        grid = hashgrid.build(jnp.asarray(target), jnp.asarray(tmask), cell_size=cell)
+        idx, d2, valid, trunc = hashgrid.knn(grid, jnp.asarray(queries), k=5, bucket_cap=128)
+        bidx, bd2, _ = bruteforce.knn(jnp.asarray(target), jnp.asarray(tmask), jnp.asarray(queries), 5)
+        # exact wherever the 5th bruteforce neighbor is within cell size
+        ok = np.asarray(bd2)[:, 4] <= cell * cell
+        np.testing.assert_allclose(
+            np.asarray(d2)[ok], np.asarray(bd2)[ok], atol=1e-5
+        )
+
+    def test_truncation_flag(self, rng):
+        # all points in one cell with tiny bucket cap -> must flag truncation
+        target = rng.uniform(0, 0.05, size=(300, 3)).astype(np.float32)
+        grid = hashgrid.build(jnp.asarray(target), jnp.ones(300, bool), cell_size=1.0)
+        _, _, _, count, trunc = hashgrid.radius(
+            grid, jnp.asarray(target[:10]), 1.0, cap=8, bucket_cap=8
+        )
+        assert np.asarray(trunc).all()
+
+    def test_fixture_cloud(self):
+        c = pcd.load(reference_pcd("bun0.pcd"))
+        r = 0.02
+        grid = hashgrid.build(c.xyz, c.mask, cell_size=r)
+        idx, d2, valid, count, trunc = hashgrid.radius(grid, c.xyz, r, cap=64, bucket_cap=64)
+        _, _, _, bcount = bruteforce.radius(c.xyz, c.mask, c.xyz, r, cap=64)
+        assert not np.asarray(trunc).any()
+        np.testing.assert_array_equal(np.asarray(count), np.asarray(bcount))
+
+
+class TestUnifiedAPI:
+    def test_knn_api(self, rng):
+        from pcl_tpu.core import from_numpy
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        c = from_numpy(pts)
+        idx, d2, valid = search.knn(c, c, k=4)
+        assert idx.shape == (200, 4)
+        np.testing.assert_allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-6)
