@@ -1,0 +1,91 @@
+"""Surface normal estimation — batched covariance + analytic eigenvector.
+
+TPU-native re-design of pcl::NormalEstimation(+OMP) (reference:
+features/include/pcl/features/normal_3d.h:61-122, impl/normal_3d.hpp:48,
+normal_3d_omp.hpp:76). PCL loops per point: kNN search -> 3x3 covariance ->
+eigen33 -> viewpoint flip. Here the whole cloud is one pipeline:
+
+  knn gather [N,k,3] -> masked covariance einsum (MXU) ->
+  analytic eigh33 (VPU, no iteration) -> sign flip -> curvature
+
+Curvature is lambda_0 / (lambda_0+lambda_1+lambda_2) as in the reference
+(normal_3d.h:122).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pcl_tpu.core.cloud import Cloud, ATTR_NORMAL, ATTR_CURVATURE
+from pcl_tpu.core import geometry
+from pcl_tpu.search import bruteforce, hashgrid as hashgrid_mod
+
+
+def normals_from_neighborhoods(
+    pts: jax.Array,          # [N, 3] query points
+    nbr: jax.Array,          # [N, k, 3] gathered neighbor coords
+    nbr_valid: jax.Array,    # [N, k] bool
+    viewpoint: jax.Array,    # [3]
+) -> Tuple[jax.Array, jax.Array]:
+    """Core math: per-point plane fit via smallest eigenvector of the
+    neighborhood covariance. Returns (normals [N,3], curvature [N])."""
+    _, cov, cnt = geometry.mean_and_covariance(nbr, nbr_valid)
+    lam, V = geometry.eigh33(cov)
+    n = V[..., :, 0]                                   # smallest eigenvector
+    # flip toward viewpoint (reference: flipNormalTowardsViewpoint,
+    # normal_3d.h:61-117)
+    to_vp = viewpoint[None, :] - pts
+    flip = jnp.sum(n * to_vp, axis=-1) < 0.0
+    n = jnp.where(flip[:, None], -n, n)
+    lam_sum = jnp.sum(lam, axis=-1)
+    curvature = jnp.where(lam_sum > 0, lam[..., 0] / jnp.maximum(lam_sum, 1e-12), 0.0)
+    # degenerate neighborhoods (fewer than 3 points) get a zero normal, like
+    # PCL's NaN normal for unfit points
+    ok = cnt >= 3.0
+    n = jnp.where(ok[:, None], n, 0.0)
+    curvature = jnp.where(ok, curvature, 0.0)
+    return n, curvature
+
+
+@partial(jax.jit, static_argnames=("k", "backend"))
+def estimate_normals(
+    cloud: Cloud,
+    k: int = 16,
+    viewpoint: Optional[jax.Array] = None,
+    surface: Optional[Cloud] = None,
+    backend: str = "bruteforce",
+    cell_size: Optional[float] = None,
+) -> Cloud:
+    """Attach 'normal' and 'curvature' attrs computed from k-NN neighborhoods.
+
+    ``surface`` is the search cloud if different from the query cloud
+    (reference: Feature::setSearchSurface, feature.h:129).
+    """
+    if viewpoint is None:
+        viewpoint = jnp.zeros((3,), jnp.float32)
+    surf = surface if surface is not None else cloud
+    if backend == "hashgrid":
+        if cell_size is None:
+            raise ValueError("hashgrid backend requires cell_size")
+        grid = hashgrid_mod.build(surf.xyz, surf.mask, cell_size)
+        idx, d2, valid, _ = hashgrid_mod.knn(grid, cloud.xyz, k)
+    else:
+        idx, d2, valid = bruteforce.knn(surf.xyz, surf.mask, cloud.xyz, k)
+    nbr = surf.xyz[jnp.clip(idx, 0, surf.capacity - 1)]
+    nbr_valid = valid & cloud.mask[:, None]
+    n, c = normals_from_neighborhoods(cloud.xyz, nbr, nbr_valid, viewpoint)
+    n = jnp.where(cloud.mask[:, None], n, 0.0)
+    c = jnp.where(cloud.mask, c, 0.0)
+    return cloud.with_attrs(**{ATTR_NORMAL: n, ATTR_CURVATURE: c})
+
+
+def flip_normals_towards_viewpoint(cloud: Cloud, viewpoint: jax.Array) -> Cloud:
+    """Re-orient existing normals toward a viewpoint."""
+    n = cloud.attrs[ATTR_NORMAL]
+    to_vp = viewpoint[None, :] - cloud.xyz
+    flip = jnp.sum(n * to_vp, axis=-1) < 0.0
+    return cloud.with_attrs(**{ATTR_NORMAL: jnp.where(flip[:, None], -n, n)})
