@@ -80,13 +80,19 @@ def hat(w: jax.Array) -> jax.Array:
 
 
 def so3_exp(w: jax.Array) -> jax.Array:
-    """Rodrigues: [...,3] axis-angle -> [...,3,3] rotation."""
+    """Rodrigues: [...,3] axis-angle -> [...,3,3] rotation.
+
+    The small-angle branch substitutes theta2=1 into the generic expressions
+    (not just a floor) so that second-order autodiff — jax.hessian through
+    registration objectives at xi=0 — never differentiates 1/theta terms at
+    the origin (the where-branch NaN trap)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
-    small = theta2 < 1e-12
+    small = theta2 < 1e-8
+    safe2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe2)
     # Taylor-safe coefficients
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
     W = hat(w)
     W2 = W @ W
     I = jnp.eye(3, dtype=w.dtype)
@@ -155,11 +161,12 @@ def se3_exp(xi: jax.Array) -> jax.Array:
     """Twist [...,6] (rho, omega) -> [...,4,4]."""
     rho, w = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
-    small = theta2 < 1e-12
+    small = theta2 < 1e-8
+    safe2 = jnp.where(small, 1.0, theta2)   # autodiff-safe (see so3_exp)
+    theta = jnp.sqrt(safe2)
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / safe2)
     W = hat(w)
     W2 = W @ W
     I = jnp.eye(3, dtype=xi.dtype)

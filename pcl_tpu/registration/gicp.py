@@ -1,0 +1,171 @@
+"""Generalized ICP (plane-to-plane) — batched covariances + IRLS Gauss-Newton.
+
+TPU-native re-design of pcl::GeneralizedIterativeClosestPoint (reference:
+registration/include/pcl/registration/gicp.h:75; impl/gicp.hpp:73-139
+per-point covariance regularization, :346-353 Mahalanobis weighting). PCL
+runs a BFGS inner optimization (gicp.h:223, bfgs.h) per outer iteration;
+here the inner problem — minimize sum_i d_i^T M_i d_i over SE(3) with M_i
+FIXED — is solved by Gauss-Newton on the se(3) twist with exact autodiff-free
+closed-form linearization, which converges in 2-3 inner steps and keeps the
+whole outer loop inside one jit.
+
+Per-point covariances use the reference's regularization: eigenvalues of the
+k=20-NN covariance are replaced by (1, 1, epsilon) in the eigenbasis
+(gicp.hpp:119-139) — the "plane-to-plane" disc model.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pcl_tpu.core.cloud import Cloud
+from pcl_tpu.core import geometry
+from pcl_tpu.core.transforms import se3_exp, transform_points
+from pcl_tpu.search import bruteforce, cell_list
+
+
+def regularized_covariances(
+    xyz: jax.Array,
+    mask: jax.Array,
+    k: int = 20,
+    epsilon: float = 1e-3,
+) -> jax.Array:
+    """GICP surface covariances [N,3,3]: C = V diag(1,1,eps) V^T from the
+    k-NN covariance eigenbasis (reference: gicp.hpp:73-139)."""
+    idx, d2, valid = bruteforce.knn(xyz, mask, xyz, k)
+    nbr = xyz[jnp.clip(idx, 0, xyz.shape[0] - 1)]
+    nbr_valid = valid & mask[:, None]
+    _, cov, cnt = geometry.mean_and_covariance(nbr, nbr_valid)
+    lam, V = geometry.eigh33(cov)
+    # eigenbasis is ascending; the smallest (surface normal) gets epsilon
+    d = jnp.stack([
+        jnp.full(lam.shape[:-1], epsilon, cov.dtype),
+        jnp.ones(lam.shape[:-1], cov.dtype),
+        jnp.ones(lam.shape[:-1], cov.dtype),
+    ], axis=-1)
+    C = jnp.einsum("...ik,...k,...jk->...ij", V, d, V)
+    ok = (cnt >= 3.0) & mask
+    return jnp.where(ok[..., None, None], C, jnp.eye(3, dtype=cov.dtype))
+
+
+class GICPResult(NamedTuple):
+    transform: jax.Array
+    converged: jax.Array
+    iterations: jax.Array
+    fitness: jax.Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_corr_dist", "max_iterations", "inner_iterations", "k_covariances",
+        "corr_backend", "cell_cap", "table_size",
+    ),
+)
+def gicp(
+    source: Cloud,
+    target: Cloud,
+    init_transform: Optional[jax.Array] = None,
+    *,
+    max_corr_dist: float = jnp.inf,
+    max_iterations: int = 50,
+    inner_iterations: int = 2,
+    transformation_eps: float = 5e-4,
+    k_covariances: int = 20,
+    epsilon: float = 1e-3,
+    corr_backend: str = "auto",
+    cell_cap: int = 32,
+    table_size: int = 1 << 17,
+) -> GICPResult:
+    """Plane-to-plane GICP alignment; returns the 4x4 transform + stats."""
+    import numpy as np
+    if init_transform is None:
+        init_transform = jnp.eye(4, dtype=jnp.float32)
+    sx, sm = source.xyz, source.mask
+    tx, tm = target.xyz, target.mask
+    Cs = regularized_covariances(sx, sm, k_covariances, epsilon)
+    Ct = regularized_covariances(tx, tm, k_covariances, epsilon)
+
+    finite_gate = bool(np.isfinite(max_corr_dist))
+    big = source.capacity * target.capacity > 1e8
+    use_cells = corr_backend == "cell" or (
+        corr_backend == "auto" and finite_gate and big
+    )
+    if use_cells:
+        table = cell_list.build(tx, tm, jnp.float32(max_corr_dist),
+                                table_size=table_size, cap=cell_cap)
+
+        def find(src_t):
+            idx, d2, _ = cell_list.nn1_radius(table, src_t, max_corr_dist)
+            return idx, d2
+    else:
+        max_d2 = jnp.float32(max_corr_dist) ** 2
+
+        def find(src_t):
+            idx, d2 = bruteforce.nn1(tx, tm, src_t)
+            return idx, jnp.where(d2 <= max_d2, d2, jnp.inf)
+
+    def outer(carry):
+        it, T, _dn, _mse, done = carry
+        src_t = transform_points(T, sx)
+        idx, d2 = find(src_t)
+        valid = sm & jnp.isfinite(d2)
+        w = valid.astype(jnp.float32)
+        idxc = jnp.clip(idx, 0, target.capacity - 1)
+        q = tx[idxc]
+        Cq = Ct[idxc]
+        R = T[:3, :3]
+        # Mahalanobis information per pair: M = (C_t + R C_s R^T)^{-1}
+        # (reference gicp.hpp:346-353)
+        Cs_rot = jnp.einsum("ij,njk,lk->nil", R, Cs, R)
+        M = jnp.linalg.inv(Cq + Cs_rot + 1e-9 * jnp.eye(3))
+        M = M * w[:, None, None]
+
+        # inner Gauss-Newton on xi with fixed M (scan, fixed trip count)
+        def gn_step(Tl, _):
+            p = transform_points(Tl, sx)
+            r = p - q                                     # [N,3]
+            # J_i = [I, -[p]_x] in twist (rho, omega) convention
+            Mr = jnp.einsum("nij,nj->ni", M, r)
+            g_rho = jnp.sum(Mr, axis=0)
+            g_omega = jnp.sum(jnp.cross(p, Mr), axis=0)
+            g = jnp.concatenate([g_rho, g_omega])
+            Px = _skew(p)                                 # [N,3,3]
+            # H = sum J^T M J, with J = [I | -Px]
+            H_tt = jnp.sum(M, axis=0)
+            MPx = jnp.einsum("nij,njk->nik", M, Px)
+            H_tw = -jnp.sum(MPx, axis=0)
+            H_ww = jnp.einsum("nji,njk->ik", Px, MPx)
+            H = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
+            H = H + 1e-6 * jnp.trace(H) / 6.0 * jnp.eye(6)
+            xi = -jnp.linalg.solve(H, g)
+            return se3_exp(xi) @ Tl, xi
+
+        T_new, xis = jax.lax.scan(gn_step, T, None, length=inner_iterations)
+        mse = jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0)
+        delta = jnp.linalg.norm(xis[-1])
+        done_new = delta < transformation_eps
+        return it + 1, T_new, delta, mse, done_new
+
+    def cond(carry):
+        it, _T, _d, _m, done = carry
+        return (it < max_iterations) & (~done)
+
+    init = (jnp.int32(0), init_transform.astype(jnp.float32),
+            jnp.float32(jnp.inf), jnp.float32(jnp.inf), False)
+    it, T, dn, mse, done = jax.lax.while_loop(cond, outer, init)
+    return GICPResult(transform=T, converged=done, iterations=it, fitness=mse)
+
+
+def _skew(v: jax.Array) -> jax.Array:
+    """[...,3] -> [...,3,3] cross-product matrices."""
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], axis=-1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], axis=-1),
+        jnp.stack([-v[..., 1], v[..., 0], z], axis=-1),
+    ], axis=-2)

@@ -28,10 +28,13 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from pcl_tpu.core.cloud import Cloud, ATTR_NORMAL
 from pcl_tpu.core.transforms import transform_points, transform_cloud, rotation_angle
 from pcl_tpu.registration import correspondence as corr_mod
 from pcl_tpu.registration import estimation
+from pcl_tpu.search import cell_list
 
 # convergence_state codes
 CONV_RUNNING = 0
@@ -57,7 +60,10 @@ def _gather(tgt: jax.Array, idx: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "variant", "reciprocal", "min_correspondences"),
+    static_argnames=(
+        "max_corr_dist", "max_iterations", "variant", "reciprocal",
+        "min_correspondences", "corr_backend", "cell_cap", "table_size",
+    ),
 )
 def icp(
     source: Cloud,
@@ -72,6 +78,9 @@ def icp(
     variant: str = "point_to_point",
     reciprocal: bool = False,
     min_correspondences: int = 3,
+    corr_backend: str = "auto",
+    cell_cap: int = 32,
+    table_size: int = 1 << 17,
 ) -> ICPResult:
     """Align ``source`` onto ``target``; returns the 4x4 transform + stats.
 
@@ -87,13 +96,37 @@ def icp(
     if variant == "symmetric" and ATTR_NORMAL not in source.attrs:
         raise ValueError("symmetric icp requires source normals")
 
-    det = corr_mod.determine_reciprocal_correspondences if reciprocal \
-        else corr_mod.determine_correspondences
-
     sx, sm = source.xyz, source.mask
     tx, tm = target.xyz, target.mask
     tn = target.attrs.get(ATTR_NORMAL)
     sn = source.attrs.get(ATTR_NORMAL)
+
+    # correspondence backend: with a finite gate, nearest-within-r from the
+    # dense cell list (built ONCE from the static target and reused by every
+    # iteration — the tree-build amortization of Registration::initCompute,
+    # reference registration.hpp:85, in TPU form)
+    finite_gate = bool(np.isfinite(max_corr_dist))
+    # auto: cell list only when brute force is genuinely expensive (>1e8
+    # candidate pairs) — small clouds are faster AND exact on the MXU, and
+    # dense small clouds overflow r-sized buckets
+    big = source.capacity * target.capacity > 1e8
+    use_cells = (corr_backend == "cell") or (
+        corr_backend == "auto" and finite_gate and big and not reciprocal
+    )
+    if use_cells:
+        if not finite_gate:
+            raise ValueError("corr_backend='cell' requires finite max_corr_dist")
+        table = cell_list.build(
+            tx, tm, jnp.float32(max_corr_dist), table_size=table_size, cap=cell_cap
+        )
+
+        def det(src_t, src_mask, _tx, _tm, max_dist):
+            idx, d2, _trunc = cell_list.nn1_radius(table, src_t, max_dist)
+            valid = src_mask & jnp.isfinite(d2)
+            return corr_mod.Correspondences(idx, d2, valid)
+    else:
+        det = corr_mod.determine_reciprocal_correspondences if reciprocal \
+            else corr_mod.determine_correspondences
 
     def iteration(T):
         """One ICP iteration from accumulated transform T. Returns

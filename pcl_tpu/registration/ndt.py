@@ -1,0 +1,251 @@
+"""Normal Distributions Transform — voxel Gaussians + autodiff Newton.
+
+TPU-native re-design of pcl::NormalDistributionsTransform (reference:
+registration/include/pcl/registration/ndt.h:75, impl/ndt.hpp:111-170 Newton
+loop, :211 computeDerivatives; target representation
+filters/include/pcl/filters/voxel_grid_covariance.h:56-166).
+
+Differences from the reference, by design:
+- The target voxel grid is a HASHED dense table built with segment
+  reductions (one pass, no per-voxel std::map). Collisions merge voxels;
+  table_size is sized so the collision rate is negligible.
+- PCL derives the 6-vector gradient/Hessian of the Gaussian score by hand
+  (ndt.hpp:211-400); here the score is a pure jittable function of the se(3)
+  twist and jax.grad/jax.hessian produce EXACT derivatives of the exact
+  objective — the Newton system is 6x6 regardless of cloud size.
+- Moré-Thuente line search (ndt.h:543) is replaced by backtracking Armijo
+  inside the same jit'd while_loop; both guarantee sufficient decrease, MT's
+  curvature condition is unnecessary for a damped Newton step.
+
+Voxel covariances are regularized exactly like the reference: eigenvalues
+below 0.01*lambda_max are inflated (voxel_grid_covariance.h singular-value
+inflation) before inversion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pcl_tpu.core.cloud import Cloud
+from pcl_tpu.core import geometry
+from pcl_tpu.core.transforms import se3_exp, transform_points
+from pcl_tpu.search.cell_list import _hash, _cell_coords  # shared hashing scheme
+
+_OFFSETS7 = jnp.array(
+    [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)],
+    jnp.int32,
+)
+_OFFSETS27 = jnp.array(
+    [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    jnp.int32,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class NDTGrid:
+    resolution: jax.Array    # scalar f32
+    table_size: int          # static
+    mean: jax.Array          # [table_size + 1, 3]
+    icov: jax.Array          # [table_size + 1, 3, 3]
+    valid: jax.Array         # [table_size + 1] bool (>= min_points)
+
+    def tree_flatten(self):
+        return (self.resolution, self.mean, self.icov, self.valid), (self.table_size,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        resolution, mean, icov, valid = children
+        return cls(resolution, aux[0], mean, icov, valid)
+
+
+@partial(jax.jit, static_argnames=("table_size", "min_points"))
+def build_grid(
+    xyz: jax.Array,
+    mask: jax.Array,
+    resolution,
+    table_size: int = 1 << 18,
+    min_points: int = 6,
+) -> NDTGrid:
+    """VoxelGridCovariance equivalent: per-voxel mean + regularized inverse
+    covariance via segment reductions keyed on the voxel hash."""
+    resolution = jnp.asarray(resolution, jnp.float32)
+    h = _hash(_cell_coords(xyz, resolution), table_size)
+    h = jnp.where(mask, h, jnp.int32(table_size))
+    w = mask.astype(jnp.float32)
+    nseg = table_size + 1
+    cnt = jax.ops.segment_sum(w, h, num_segments=nseg)
+    s = jax.ops.segment_sum(xyz * w[:, None], h, num_segments=nseg)
+    ss = jax.ops.segment_sum(
+        jnp.einsum("ni,nj->nij", xyz, xyz) * w[:, None, None], h, num_segments=nseg
+    )
+    denom = jnp.maximum(cnt, 1.0)
+    mean = s / denom[:, None]
+    # sample covariance with (n-1) normalization (reference
+    # voxel_grid_covariance.hpp uses the unbiased form)
+    cov = (ss - jnp.einsum("vi,vj->vij", mean, s)) / jnp.maximum(cnt - 1.0, 1.0)[:, None, None]
+    # eigenvalue inflation (reference: min_covar_eigvalue_mult_ = 0.01)
+    lam, V = geometry.eigh33(cov)
+    lam_max = lam[..., 2]
+    lam_inf = jnp.maximum(lam, 0.01 * lam_max[..., None])
+    inv_lam = 1.0 / jnp.maximum(lam_inf, 1e-12)
+    icov = jnp.einsum("vik,vk,vjk->vij", V, inv_lam, V)
+    valid = (cnt >= float(min_points)) & (lam_max > 0)
+    return NDTGrid(
+        resolution=resolution,
+        table_size=table_size,
+        mean=jnp.where(valid[:, None], mean, 0.0),
+        icov=jnp.where(valid[:, None, None], icov, 0.0),
+        valid=valid,
+    )
+
+
+def _gauss_constants(resolution, outlier_ratio: float = 0.55):
+    """d1/d2 of the log-mixture approximation (reference: ndt.hpp:111-130)."""
+    gauss_c1 = 10.0 * (1.0 - outlier_ratio)
+    gauss_c2 = outlier_ratio / float(resolution) ** 3
+    gauss_d3 = -jnp.log(gauss_c2)
+    d1 = -jnp.log(gauss_c1 + gauss_c2) - gauss_d3
+    d2 = -2.0 * jnp.log(
+        (-jnp.log(gauss_c1 * jnp.exp(-0.5) + gauss_c2) - gauss_d3) / d1
+    )
+    return jnp.float32(d1), jnp.float32(d2)
+
+
+class NDTResult(NamedTuple):
+    transform: jax.Array          # [4,4]
+    converged: jax.Array          # bool
+    iterations: jax.Array         # int32
+    score: jax.Array              # f32 (negative log-likelihood style, lower better)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "resolution", "max_iterations", "neighborhood", "table_size",
+        "min_points", "outlier_ratio", "step_size",
+    ),
+)
+def ndt(
+    source: Cloud,
+    target: Cloud,
+    resolution: float = 1.0,
+    init_transform: Optional[jax.Array] = None,
+    *,
+    max_iterations: int = 35,
+    transformation_eps: float = 1e-4,
+    step_size: float = 0.1,
+    outlier_ratio: float = 0.55,
+    neighborhood: int = 7,
+    table_size: int = 1 << 18,
+    min_points: int = 6,
+) -> NDTResult:
+    """Align source onto target by maximizing the NDT Gaussian score.
+
+    ``neighborhood`` in {1, 7, 27} voxels checked per point (reference
+    DIRECT1/DIRECT7/DIRECT27). ``step_size`` caps the Newton step length
+    (reference setStepSize).
+    """
+    if init_transform is None:
+        init_transform = jnp.eye(4, dtype=jnp.float32)
+    grid = build_grid(target.xyz, target.mask, resolution,
+                      table_size=table_size, min_points=min_points)
+    d1, d2 = _gauss_constants(resolution, outlier_ratio)
+    offsets = {1: _OFFSETS27[:1], 7: _OFFSETS7, 27: _OFFSETS27}[neighborhood]
+    sx, sm = source.xyz, source.mask
+    T0 = init_transform.astype(jnp.float32)
+    res = jnp.asarray(resolution, jnp.float32)
+    w_src = sm.astype(jnp.float32)
+
+    def score_fn(xi):
+        """Negative NDT score of pose exp(xi) @ T0 (lower = better)."""
+        T = se3_exp(xi) @ T0
+        p = transform_points(T, sx)                            # [N,3]
+        cc = jnp.floor(p / res).astype(jnp.int32)
+        nb = cc[:, None, :] + offsets[None, :, :]              # [N,O,3]
+        buckets = _hash(nb, grid.table_size)                   # [N,O]
+        mu = grid.mean[buckets]                                # [N,O,3]
+        ic = grid.icov[buckets]                                # [N,O,3,3]
+        ok = grid.valid[buckets] & sm[:, None]
+        x = p[:, None, :] - mu
+        md = jnp.einsum("noi,noij,noj->no", x, ic, x)
+        # reference score_inc = -d1 exp(-d2/2 md) is MAXIMIZED; we minimize
+        # its negation f = sum d1 exp(...) (d1 < 0)
+        contrib = d1 * jnp.exp(-0.5 * d2 * md)
+        contrib = jnp.where(ok, contrib, 0.0)
+        return jnp.sum(contrib)
+
+    grad_fn = jax.grad(score_fn)
+    hess_fn = jax.hessian(score_fn)
+
+    def newton_step(carry):
+        it, T, _prev_delta, _score, done = carry
+        xi0 = jnp.zeros((6,), jnp.float32)
+
+        def local_score(xi):
+            Tl = se3_exp(xi) @ T
+            p = transform_points(Tl, sx)
+            cc = jnp.floor(p / res).astype(jnp.int32)
+            nb = cc[:, None, :] + offsets[None, :, :]
+            buckets = _hash(nb, grid.table_size)
+            mu = grid.mean[buckets]
+            ic = grid.icov[buckets]
+            ok = grid.valid[buckets] & sm[:, None]
+            x = p[:, None, :] - mu
+            md = jnp.einsum("noi,noij,noj->no", x, ic, x)
+            contrib = d1 * jnp.exp(-0.5 * d2 * md)   # negated score (minimize)
+            return jnp.sum(jnp.where(ok, contrib, 0.0))
+
+        f0 = local_score(xi0)
+        g = jax.grad(local_score)(xi0)
+        H = jax.hessian(local_score)(xi0)
+        # Levenberg damping for indefinite Hessians
+        lam = 1e-3 * jnp.maximum(jnp.trace(H) / 6.0, 1e-6)
+        Hd = H + jnp.abs(lam) * jnp.eye(6)
+        delta = -jnp.linalg.solve(Hd, g)
+        # fall back to gradient descent if not a descent direction
+        descent = jnp.dot(delta, g) < 0.0
+        delta = jnp.where(descent, delta, -g)
+        # cap step length (reference setStepSize)
+        dn = jnp.linalg.norm(delta)
+        delta = delta * jnp.minimum(1.0, step_size / jnp.maximum(dn, 1e-12))
+
+        # backtracking Armijo line search (replaces More-Thuente)
+        def ls_cond(c):
+            alpha, f_new, tries = c
+            armijo = f_new <= f0 + 1e-4 * alpha * jnp.dot(g, delta)
+            return (~armijo) & (tries < 8)
+
+        def ls_body(c):
+            alpha, _, tries = c
+            alpha = alpha * 0.5
+            return alpha, local_score(alpha * delta), tries + 1
+
+        alpha0 = jnp.float32(1.0)
+        alpha, f_new, _ = jax.lax.while_loop(
+            ls_cond, ls_body, (alpha0, local_score(delta), jnp.int32(0))
+        )
+        improved = f_new < f0
+        step = jnp.where(improved, alpha, 0.0) * delta
+        T_new = se3_exp(step) @ T
+        dnorm = jnp.linalg.norm(step)
+        done_new = (dnorm < transformation_eps) | (~improved)
+        return it + 1, T_new, dnorm, jnp.where(improved, f_new, f0), done_new
+
+    def cond(carry):
+        it, _T, _d, _s, done = carry
+        return (it < max_iterations) & (~done)
+
+    init = (jnp.int32(0), T0, jnp.float32(jnp.inf), jnp.float32(jnp.inf), False)
+    it, T, dlast, score, done = jax.lax.while_loop(cond, newton_step, init)
+    return NDTResult(
+        transform=T,
+        converged=done & jnp.isfinite(score),
+        iterations=it,
+        score=-score / jnp.maximum(jnp.sum(w_src), 1.0),
+    )

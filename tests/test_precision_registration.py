@@ -1,0 +1,110 @@
+"""NDT + GICP tests — synthetic transform recovery (the reference pattern:
+test/registration/test_ndt.cpp and gicp sections of test_registration.cpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pcl_tpu.core.cloud import make_cloud
+from pcl_tpu.core import transforms as tf
+from pcl_tpu.registration.ndt import ndt, build_grid, NDTGrid
+from pcl_tpu.registration.gicp import gicp, regularized_covariances
+from tests.conftest import reference_pcd
+from pcl_tpu.io import pcd
+
+
+def structured_cloud(rng, n=3000):
+    """Surface-like cloud (planes + curved sheet) — NDT needs structure."""
+    n1 = n // 3
+    a = np.stack([rng.uniform(-2, 2, n1), rng.uniform(-2, 2, n1),
+                  np.zeros(n1)], 1)
+    b = np.stack([rng.uniform(-2, 2, n1), np.zeros(n1),
+                  rng.uniform(0, 2, n1)], 1)
+    t = rng.uniform(-2, 2, size=(n - 2 * n1, 2))
+    c = np.stack([t[:, 0], t[:, 1], 0.3 * np.sin(2 * t[:, 0]) + 1.5], 1)
+    pts = np.concatenate([a, b, c]).astype(np.float32)
+    return pts + rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
+
+
+SMALL_XI = np.array([0.08, -0.05, 0.06, 0.04, -0.03, 0.05], np.float32)
+
+
+class TestNDT:
+    def test_grid_stats(self, rng):
+        pts = rng.normal(size=(2000, 3)).astype(np.float32)
+        g = build_grid(jnp.asarray(pts), jnp.ones(2000, bool), 1.0,
+                       table_size=1 << 14, min_points=3)
+        v = np.asarray(g.valid)
+        assert v.any()
+        icov = np.asarray(g.icov)[v]
+        # inverse covariances are symmetric PSD
+        np.testing.assert_allclose(icov, np.swapaxes(icov, 1, 2), atol=1e-3)
+        assert (np.linalg.eigvalsh(icov) > -1e-3).all()
+
+    def test_recovers_small_transform(self, rng):
+        # The reference NDT test asserts only fitness < 1e-3 with a
+        # resolution much finer than the cloud (test_ndt.cpp:65-74); NDT has
+        # an inherent voxel-attraction bias, so transform checks are loose.
+        from pcl_tpu.registration.icp import fitness_score
+        tgt = structured_cloud(rng)
+        T_true = np.asarray(tf.se3_exp(jnp.asarray(SMALL_XI)))
+        # source = target moved by inv(T): aligning source->target recovers T
+        src = (tgt - T_true[:3, 3]) @ T_true[:3, :3]
+        src_c = make_cloud(jnp.asarray(src.astype(np.float32)))
+        tgt_c = make_cloud(jnp.asarray(tgt))
+        res = ndt(
+            src_c, tgt_c,
+            resolution=0.5,
+            max_iterations=40,
+            table_size=1 << 14,
+            min_points=4,
+        )
+        T = np.asarray(res.transform)
+        fit0 = float(fitness_score(src_c, tgt_c, jnp.eye(4)))
+        fit = float(fitness_score(src_c, tgt_c, res.transform))
+        assert fit < 0.05 * fit0, (fit, fit0)
+        assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.15
+
+    def test_identity_stays_near_identity(self, rng):
+        tgt = structured_cloud(rng)
+        res = ndt(make_cloud(jnp.asarray(tgt)), make_cloud(jnp.asarray(tgt)),
+                  resolution=0.5, max_iterations=10, table_size=1 << 14)
+        T = np.asarray(res.transform)
+        # voxel-attraction bias stays well below the resolution
+        assert np.abs(T - np.eye(4)).max() < 0.1
+
+
+class TestGICP:
+    def test_covariance_regularization(self, rng):
+        pts = structured_cloud(rng, n=900)
+        C = np.asarray(regularized_covariances(
+            jnp.asarray(pts), jnp.ones(len(pts), bool), k=15))
+        lam = np.linalg.eigvalsh(C)
+        # eigenvalues ~ (eps, 1, 1)
+        np.testing.assert_allclose(lam[:, 2], 1.0, atol=1e-3)
+        np.testing.assert_allclose(lam[:, 1], 1.0, atol=1e-3)
+        assert (lam[:, 0] < 0.01).all()
+
+    def test_recovers_transform(self, rng):
+        tgt = structured_cloud(rng, n=1500)
+        T_true = np.asarray(tf.se3_exp(jnp.asarray(SMALL_XI)))
+        src = (tgt - T_true[:3, 3]) @ T_true[:3, :3]
+        res = gicp(
+            make_cloud(jnp.asarray(src.astype(np.float32))),
+            make_cloud(jnp.asarray(tgt)),
+            max_corr_dist=1.0,
+            max_iterations=30,
+        )
+        T = np.asarray(res.transform)
+        assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.03
+        assert np.abs(T[:3, :3] - T_true[:3, :3]).max() < 0.03
+
+    def test_bunny_pair(self):
+        src = pcd.load(reference_pcd("bun0.pcd"))
+        dst = pcd.load(reference_pcd("bun4.pcd"))
+        res = gicp(src, dst, max_corr_dist=0.1, max_iterations=40)
+        # the reference GICP test asserts only fitness < 1e-4
+        # (test_registration.cpp:565-583)
+        from pcl_tpu.registration.icp import fitness_score
+        fit = float(fitness_score(src, dst, res.transform, max_range=0.1))
+        assert fit < 1e-4, fit

@@ -124,3 +124,69 @@ class TestUnifiedAPI:
         idx, d2, valid = search.knn(c, c, k=4)
         assert idx.shape == (200, 4)
         np.testing.assert_allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-6)
+
+
+class TestCellList:
+    """Dense cell-list vs brute-force oracle (reference test/search/
+    test_search.cpp oracle pattern)."""
+
+    def test_nn1_radius_exact(self, rng):
+        from pcl_tpu.search import cell_list
+        target = rng.uniform(-1, 1, size=(4000, 3)).astype(np.float32)
+        queries = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+        r = 0.2
+        tab = cell_list.build(jnp.asarray(target), jnp.ones(4000, bool), r,
+                              table_size=1 << 14, cap=64)
+        idx, d2, trunc = cell_list.nn1_radius(tab, jnp.asarray(queries), r)
+        assert not np.asarray(trunc).any()
+        bidx, bd2 = bruteforce.nn1(jnp.asarray(target), jnp.ones(4000, bool),
+                                   jnp.asarray(queries))
+        bwithin = np.asarray(bd2) <= r * r
+        # inside radius: identical; outside: reported +inf
+        np.testing.assert_array_equal(np.asarray(idx)[bwithin],
+                                      np.asarray(bidx)[bwithin])
+        assert np.isinf(np.asarray(d2)[~bwithin]).all()
+
+    def test_knn_radius_matches_brute(self, rng):
+        from pcl_tpu.search import cell_list
+        target = rng.uniform(-1, 1, size=(3000, 3)).astype(np.float32)
+        queries = target[:200]
+        r = 0.3
+        tab = cell_list.build(jnp.asarray(target), jnp.ones(3000, bool), r,
+                              table_size=1 << 14, cap=128)
+        idx, d2, valid, trunc = cell_list.knn_radius(tab, jnp.asarray(queries), 5)
+        assert not np.asarray(trunc).any()
+        bidx, bd2, _ = bruteforce.knn(jnp.asarray(target), jnp.ones(3000, bool),
+                                      jnp.asarray(queries), 5)
+        ok = np.asarray(bd2)[:, 4] <= r * r
+        np.testing.assert_allclose(np.asarray(d2)[ok], np.asarray(bd2)[ok], atol=1e-5)
+
+    def test_masked_points_excluded(self, rng):
+        from pcl_tpu.search import cell_list
+        target = rng.uniform(-1, 1, size=(1000, 3)).astype(np.float32)
+        mask = np.ones(1000, bool); mask[500:] = False
+        r = 0.5
+        tab = cell_list.build(jnp.asarray(target), jnp.asarray(mask), r, cap=64)
+        idx, d2, _ = cell_list.nn1_radius(tab, jnp.asarray(target[500:]), r)
+        finite = np.isfinite(np.asarray(d2))
+        assert (np.asarray(idx)[finite] < 500).all()
+
+    def test_truncation_flag(self, rng):
+        from pcl_tpu.search import cell_list
+        target = rng.uniform(0, 0.01, size=(100, 3)).astype(np.float32)
+        tab = cell_list.build(jnp.asarray(target), jnp.ones(100, bool), 1.0, cap=8)
+        _, _, trunc = cell_list.nn1_radius(tab, jnp.asarray(target[:5]), 1.0)
+        assert np.asarray(trunc).all()
+
+    def test_radius_counts(self, rng):
+        from pcl_tpu.search import cell_list
+        target = rng.uniform(-1, 1, size=(2000, 3)).astype(np.float32)
+        r = 0.25
+        tab = cell_list.build(jnp.asarray(target), jnp.ones(2000, bool), r,
+                              table_size=1 << 14, cap=64)
+        idx, d2, valid, count, trunc = cell_list.radius_search(
+            tab, jnp.asarray(target[:100]), r, cap_out=64)
+        assert not np.asarray(trunc).any()
+        _, _, _, bcount = bruteforce.radius(
+            jnp.asarray(target), jnp.ones(2000, bool), jnp.asarray(target[:100]), r, cap=64)
+        np.testing.assert_array_equal(np.asarray(count), np.asarray(bcount))
