@@ -1,0 +1,13 @@
+"""Segmentation — TPU-native equivalents of the reference ``segmentation/``
+module (SURVEY §2.8). Cluster extraction is iterated label propagation over
+fixed-capacity neighbor lists (the XLA answer to PCL's queue-based flood
+fill, reference: segmentation/include/pcl/segmentation/extract_clusters.h:62).
+"""
+
+from pcl_tpu.segmentation.clustering import (
+    euclidean_clusters,
+    labels_to_cluster_sizes,
+    propagate_labels,
+)
+from pcl_tpu.segmentation.region_growing import region_growing
+from pcl_tpu.segmentation.sac_segmentation import sac_segmentation, segment_differences
