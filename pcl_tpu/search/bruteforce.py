@@ -86,11 +86,15 @@ def knn(
     Q = queries.shape[0]
     pad_q = (-Q) % chunk
     q = jnp.pad(queries, ((0, pad_q), (0, 0)))
+    kk = min(k, target.shape[0])   # fewer targets than k: pad below
 
     def per_chunk(qc):
         d = _chunk_sqdist(qc, target, tmask)
-        neg, idx = jax.lax.top_k(-d, k)
+        neg, idx = jax.lax.top_k(-d, kk)
         dd = -neg
+        if kk < k:
+            idx = jnp.pad(idx, ((0, 0), (0, k - kk)))
+            dd = jnp.pad(dd, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
         return idx.astype(jnp.int32), dd, jnp.isfinite(dd)
 
     qs = q.reshape(-1, chunk, 3)
@@ -121,14 +125,18 @@ def radius(
     pad_q = (-Q) % chunk
     q = jnp.pad(queries, ((0, pad_q), (0, 0)))
     r2 = jnp.float32(r) ** 2
+    cc = min(cap, target.shape[0])   # fewer targets than cap: pad below
 
     def per_chunk(qc):
         d = _chunk_sqdist(qc, target, tmask)
         inside = d <= r2
         count = jnp.sum(inside, axis=1).astype(jnp.int32)
         d_in = jnp.where(inside, d, _INF)
-        neg, idx = jax.lax.top_k(-d_in, cap)
+        neg, idx = jax.lax.top_k(-d_in, cc)
         dd = -neg
+        if cc < cap:
+            idx = jnp.pad(idx, ((0, 0), (0, cap - cc)))
+            dd = jnp.pad(dd, ((0, 0), (0, cap - cc)), constant_values=jnp.inf)
         return idx.astype(jnp.int32), dd, jnp.isfinite(dd), count
 
     qs = q.reshape(-1, chunk, 3)
