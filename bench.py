@@ -28,13 +28,18 @@ def main():
     tgt_c = Cloud(xyz=jnp.asarray(tgt), mask=jnp.ones((N,), bool))
 
     def run():
-        # eps=0 disables early convergence so exactly ITERS iterations run
+        # eps=0 disables early convergence so exactly ITERS iterations run.
+        # max_corr_dist=2.0 ~ 5x the expected NN distance (0.43 at this
+        # density): every point matches, results equal the full-NN sweep,
+        # and the cell-list backend serves correspondences.
         return icp(
             src_c, tgt_c,
+            max_corr_dist=2.0,
             max_iterations=ITERS,
             transformation_eps=0.0,
             abs_mse_eps=0.0,
             rel_mse_eps=0.0,
+            cell_cap=16,
         )
 
     # compile + warmup

