@@ -8,7 +8,7 @@ import pytest
 
 from pcl_tpu.core import from_numpy, to_numpy
 from pcl_tpu.io import lzf, pcd
-from tests.conftest import reference_pcd
+from tests.conftest import reference_pcd, REFERENCE_TEST_DIR
 
 
 class TestLZF:
@@ -92,3 +92,83 @@ class TestReferenceFixtures:
     def test_load_bunny(self):
         c = pcd.load(reference_pcd("bunny.pcd"))
         assert int(c.count) > 100
+
+
+class TestPLY:
+    def test_roundtrip_binary(self, rng, tmp_path):
+        from pcl_tpu.io import ply
+        from pcl_tpu.core.cloud import from_numpy, to_numpy
+        xyz = rng.normal(size=(120, 3)).astype(np.float32)
+        normal = rng.normal(size=(120, 3)).astype(np.float32)
+        rgb = rng.random((120, 3)).astype(np.float32)
+        c = from_numpy(xyz, {"normal": normal, "rgb": rgb})
+        p = tmp_path / "t.ply"
+        ply.save(p, c, binary=True)
+        c2 = ply.load(p)
+        x2, a2 = to_numpy(c2)
+        np.testing.assert_allclose(x2, xyz, atol=1e-6)
+        np.testing.assert_allclose(a2["normal"], normal, atol=1e-6)
+        np.testing.assert_allclose(a2["rgb"], rgb, atol=1.0 / 255)
+
+    def test_roundtrip_ascii(self, rng, tmp_path):
+        from pcl_tpu.io import ply
+        from pcl_tpu.core.cloud import from_numpy, to_numpy
+        xyz = rng.normal(size=(50, 3)).astype(np.float32)
+        c = from_numpy(xyz)
+        p = tmp_path / "t_ascii.ply"
+        ply.save(p, c, binary=False)
+        x2, _ = to_numpy(ply.load(p))
+        np.testing.assert_allclose(x2, xyz, atol=1e-5)
+
+    def test_mesh_faces_roundtrip(self, rng, tmp_path):
+        from pcl_tpu.io import ply
+        from pcl_tpu.core.cloud import from_numpy
+        xyz = rng.normal(size=(10, 3)).astype(np.float32)
+        faces = np.array([[0, 1, 2], [2, 3, 4], [5, 6, 7]], np.int32)
+        p = tmp_path / "mesh.ply"
+        ply.save(p, from_numpy(xyz), binary=True, faces=faces)
+        c2, f2 = ply.load_mesh(p)
+        np.testing.assert_array_equal(f2, faces)
+
+    def test_reference_fixture(self):
+        from pcl_tpu.io import ply
+        import os
+        # any .ply shipped with the reference test data
+        cand = [f for f in os.listdir(REFERENCE_TEST_DIR)
+                if f.endswith(".ply")] if os.path.isdir(REFERENCE_TEST_DIR) else []
+        if not cand:
+            pytest.skip("no reference .ply fixtures")
+        c = ply.load(os.path.join(REFERENCE_TEST_DIR, cand[0]))
+        assert int(c.count) > 0
+
+
+class TestOBJ:
+    def test_load(self, tmp_path):
+        from pcl_tpu.io import obj
+        p = tmp_path / "t.obj"
+        p.write_text("""
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 0 0 1
+vn 0 0 1
+vn 0 0 1
+vn 0 0 1
+vn 0 0 1
+f 1/1/1 2/2/2 3/3/3 4/4/4
+""")
+        c, faces = obj.load_mesh(p)
+        assert int(c.count) == 4
+        assert faces.shape == (2, 3)  # quad fan-triangulated
+        assert "normal" in c.attrs
+
+
+class TestASCIIXYZ:
+    def test_roundtrip(self, rng, tmp_path):
+        from pcl_tpu.io import ascii as ascii_io
+        from pcl_tpu.core.cloud import from_numpy, to_numpy
+        xyz = rng.normal(size=(30, 3)).astype(np.float32)
+        p = tmp_path / "t.xyz"
+        ascii_io.save(p, from_numpy(xyz))
+        x2, _ = to_numpy(ascii_io.load(p))
+        np.testing.assert_allclose(x2, xyz, atol=1e-5)
