@@ -5,9 +5,15 @@ Baseline: 5.92 iters/sec CPU kd-tree proxy (see BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: the ICP while_loop graph takes minutes
+# to compile via the remote-compile service; cache hits make reruns instant
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 CPU_BASELINE_ITERS_PER_SEC = 5.92
 N = 120_000
@@ -29,17 +35,18 @@ def main():
 
     def run():
         # eps=0 disables early convergence so exactly ITERS iterations run.
-        # max_corr_dist=2.0 ~ 5x the expected NN distance (0.43 at this
-        # density): every point matches, results equal the full-NN sweep,
-        # and the cell-list backend serves correspondences.
+        # max_corr_dist=1.0 ~ 2.3x the expected NN distance (0.43 at this
+        # density): >99.9% of points match, results track the full-NN sweep,
+        # and the cell-list backend serves correspondences with ~1 point per
+        # cell (cap 8 gives overflow probability ~1e-6 at this density).
         return icp(
             src_c, tgt_c,
-            max_corr_dist=2.0,
+            max_corr_dist=1.0,
             max_iterations=ITERS,
             transformation_eps=0.0,
             abs_mse_eps=0.0,
             rel_mse_eps=0.0,
-            cell_cap=16,
+            cell_cap=8,
         )
 
     # compile + warmup
