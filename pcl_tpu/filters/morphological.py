@@ -75,7 +75,9 @@ def morphological_filter(
     return out[cell[:, 0], cell[:, 1]]
 
 
-@partial(jax.jit, static_argnames=("max_window_size", "grid"))
+@partial(jax.jit, static_argnames=(
+    "cell_size", "max_window_size", "slope", "initial_distance",
+    "max_distance", "grid"))
 def progressive_morphological_filter(
     cloud: Cloud,
     cell_size: float = 1.0,
