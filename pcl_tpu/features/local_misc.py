@@ -137,10 +137,17 @@ def spin_images(
 def difference_of_normals(
     cloud: Cloud, k_small: int = 8, k_large: int = 32,
 ) -> jax.Array:
-    """DoN magnitude [N] (reference don.h: ||(n_small - n_large)/2||)."""
+    """DoN magnitude [N] (reference don.h: ||(n_small - n_large)/2||).
+
+    The reference requires consistently-oriented input normals; here the
+    small-scale normal's sign is aligned to the large-scale one per point,
+    so the result is independent of viewpoint-flip ambiguities."""
     small = estimate_normals(cloud, k=k_small)
     large = estimate_normals(cloud, k=k_large)
-    dn = 0.5 * (small.attrs[ATTR_NORMAL] - large.attrs[ATTR_NORMAL])
+    ns = small.attrs[ATTR_NORMAL]
+    nl = large.attrs[ATTR_NORMAL]
+    ns = jnp.where((jnp.sum(ns * nl, axis=-1) < 0)[:, None], -ns, ns)
+    dn = 0.5 * (ns - nl)
     return jnp.where(cloud.mask, jnp.linalg.norm(dn, axis=-1), 0.0)
 
 
