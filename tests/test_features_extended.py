@@ -112,13 +112,15 @@ class TestLocalMisc:
     def test_don_flags_fine_detail(self, rng):
         # flat plane with a rough patch: small-scale normals disagree with
         # large-scale ones only in the rough region
-        u = rng.uniform(-1, 1, size=(500, 2)).astype(np.float32)
-        base = np.concatenate([u, np.zeros((500, 1), np.float32)], 1)
+        u = rng.uniform(-1, 1, size=(600, 2)).astype(np.float32)
+        base = np.concatenate([u, np.zeros((600, 1), np.float32)], 1)
         noisy = base.copy()
-        noisy[:100, 2] += rng.normal(scale=0.05, size=100).astype(np.float32)
+        rough = u[:, 0] < -0.5                 # spatially separated patch
+        noisy[rough, 2] += rng.normal(scale=0.05, size=rough.sum()).astype(np.float32)
+        far_flat = u[:, 0] > 0.0
         c = make_cloud(jnp.asarray(noisy))
         don = np.asarray(features.difference_of_normals(c, k_small=6, k_large=24))
-        assert don[:100].mean() > 3 * don[150:].mean()
+        assert don[rough].mean() > 3 * don[far_flat].mean()
 
     def test_moment_of_inertia_obb(self, rng):
         # axis-aligned box with known extents, rotated
