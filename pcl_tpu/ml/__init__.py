@@ -1,0 +1,8 @@
+"""Machine learning utilities — TPU-native equivalent of the reference
+``ml/`` module (SURVEY §2.12): k-means, a linear SVM (SMO-free, batched
+gradient training — replaces the bundled libsvm wrapper for the common
+linear case), and kernel density/CRF-adjacent helpers.
+"""
+
+from pcl_tpu.ml.kmeans import kmeans
+from pcl_tpu.ml.svm import SVMModel, svm_train, svm_classify
