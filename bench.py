@@ -11,9 +11,14 @@ import time
 import numpy as np
 
 # persistent XLA compilation cache: the ICP while_loop graph takes minutes
-# to compile via the remote-compile service; cache hits make reruns instant
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+# to compile via the remote-compile service; cache hits make reruns instant.
+# The driver image's sitecustomize imports jax before this module runs, so
+# env vars are too late — use config updates.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 CPU_BASELINE_ITERS_PER_SEC = 5.92
 N = 120_000
@@ -46,7 +51,7 @@ def main():
             transformation_eps=0.0,
             abs_mse_eps=0.0,
             rel_mse_eps=0.0,
-            cell_cap=8,
+            cell_cap=4,
         )
 
     # compile + warmup
