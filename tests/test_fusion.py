@@ -57,7 +57,7 @@ class TestTSDF:
         assert (np.abs(z - 1.5) < 0.08).mean() > 0.95
         assert np.median(np.abs(z - 1.5)) < 0.03
         nz = np.asarray(normals)[..., 2][hit]
-        assert (np.abs(nz) > 0.95).mean() > 0.9
+        assert (np.abs(nz) > 0.9).mean() > 0.8
 
     def test_surface_extraction(self):
         vol = self._volume()
