@@ -172,3 +172,38 @@ class TestASCIIXYZ:
         ascii_io.save(p, from_numpy(xyz))
         x2, _ = to_numpy(ascii_io.load(p))
         np.testing.assert_allclose(x2, xyz, atol=1e-5)
+
+
+class TestOctreeCompression:
+    def test_roundtrip_voxel_centers(self, rng):
+        from pcl_tpu.io.compression import compress_cloud, decompress_cloud
+        xyz = rng.uniform(0, 2, size=(1500, 3)).astype(np.float32)
+        c = from_numpy(xyz)
+        res = 0.05
+        blob = compress_cloud(c, resolution=res)
+        out = decompress_cloud(blob)
+        dec, _ = to_numpy(out)
+        # every original point is within voxel-diagonal/2 of a decoded
+        # center; brute force in chunks to keep memory small
+        mins = []
+        for i in range(0, len(xyz), 250):
+            dd = np.linalg.norm(xyz[i:i+250, None, :] - dec[None, :, :], axis=-1)
+            mins.append(dd.min(axis=1))
+        mins = np.concatenate(mins)
+        assert mins.max() <= res * np.sqrt(3) / 2 + 1e-5
+
+    def test_compression_ratio(self, rng):
+        from pcl_tpu.io.compression import compress_cloud
+        xyz = rng.uniform(0, 1, size=(5000, 3)).astype(np.float32)
+        blob = compress_cloud(from_numpy(xyz), resolution=0.02)
+        raw = 5000 * 12
+        assert len(blob) < raw / 3   # structural stream beats raw xyz
+
+    def test_empty_and_single(self):
+        from pcl_tpu.io.compression import compress_cloud, decompress_cloud
+        one = from_numpy(np.array([[1.0, 2.0, 3.0]], np.float32))
+        blob = compress_cloud(one, resolution=0.1)
+        out = decompress_cloud(blob)
+        xyz, _ = to_numpy(out)
+        assert len(xyz) == 1
+        np.testing.assert_allclose(xyz[0], [1.05, 2.05, 3.05], atol=0.06)
