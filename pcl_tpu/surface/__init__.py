@@ -4,3 +4,10 @@ polynomial fits.
 """
 
 from pcl_tpu.surface.mls import moving_least_squares
+from pcl_tpu.surface.reconstruction import (
+    hoppe_signed_distance,
+    surface_nets,
+    reconstruct_hoppe,
+    organized_fast_mesh,
+)
+from pcl_tpu.surface.hulls import convex_hull, concave_hull

@@ -39,3 +39,66 @@ class TestMLS:
         c = make_cloud(jnp.asarray(pts))
         out = moving_least_squares(c, search_radius=0.5, k=8)
         np.testing.assert_allclose(np.asarray(out.xyz), pts, atol=1e-6)
+
+
+class TestReconstruction:
+    def test_hoppe_sphere_mesh(self, rng):
+        from pcl_tpu import features
+        from pcl_tpu.surface import reconstruct_hoppe
+        d = rng.normal(size=(2000, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        c = make_cloud(jnp.asarray(d))
+        c = features.estimate_normals(c, k=12, viewpoint=jnp.zeros(3))
+        # normals must point outward for a consistent SDF; viewpoint at the
+        # center gives inward normals -> flip
+        c = c.with_attrs(normal=-c.attrs[ATTR_NORMAL])
+        verts, tris = reconstruct_hoppe(c, resolution=32)
+        assert len(verts) > 100 and len(tris) > 100
+        r = np.linalg.norm(verts, axis=1)
+        assert (np.abs(r - 1.0) < 0.15).mean() > 0.95
+        # closed surface: every edge shared by exactly 2 triangles
+        from collections import Counter
+        e = Counter()
+        for t in tris:
+            for a, b in ((0, 1), (1, 2), (2, 0)):
+                e[tuple(sorted((t[a], t[b])))] += 1
+        counts = np.array(list(e.values()))
+        assert (counts == 2).mean() > 0.95
+
+    def test_organized_fast_mesh(self, rng):
+        from pcl_tpu.surface import organized_fast_mesh
+        from pcl_tpu.core.cloud import make_cloud as mk
+        H, W = 10, 12
+        v, u = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        xyz = np.stack([u, v, np.ones_like(u)], -1).reshape(-1, 3).astype(np.float32)
+        mask = np.ones(H * W, bool)
+        mask[0] = False   # one hole
+        c = mk(jnp.asarray(xyz), jnp.asarray(mask), width=W, height=H)
+        verts, tris = organized_fast_mesh(c)
+        assert len(tris) == 2 * (H - 1) * (W - 1) - 2  # two triangles lost at the hole
+        assert tris.max() < H * W
+
+
+class TestHulls:
+    def test_convex_hull_cube(self, rng):
+        from pcl_tpu.surface import convex_hull
+        pts = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+        corners = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)], np.float32)
+        allp = np.concatenate([pts * 0.5, corners])
+        verts, simplices = convex_hull(make_cloud(jnp.asarray(allp)))
+        assert len(verts) == 8           # exactly the corners
+        np.testing.assert_allclose(np.abs(verts), 1.0, atol=1e-6)
+
+    def test_concave_hull_2d(self, rng):
+        from pcl_tpu.surface import concave_hull
+        # L-shaped region: concave hull with small alpha follows the notch
+        pts = rng.uniform(0, 2, size=(3000, 2)).astype(np.float32)
+        keep = ~((pts[:, 0] > 1) & (pts[:, 1] > 1))
+        pts = pts[keep]
+        xyz = np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1)
+        verts, edges = concave_hull(make_cloud(jnp.asarray(xyz)), alpha=0.12, dim=2)
+        assert len(edges) > 20
+        # boundary must include points near the inner corner (1,1) — a
+        # CONVEX hull could never have one there
+        dist_corner = np.linalg.norm(verts[:, :2] - [1, 1], axis=1)
+        assert dist_corner.min() < 0.15
