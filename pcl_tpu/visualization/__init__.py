@@ -1,0 +1,15 @@
+"""Headless visualization — file-based viewers.
+
+The reference's ``visualization/`` module is VTK-window based
+(pcl::visualization::PCLVisualizer, SURVEY §2.13); a TPU pod has no display,
+so the equivalent here is EXPORT: self-contained interactive HTML viewers
+(WebGL, no external assets) for clouds and meshes, plus PNG-free ASCII
+snapshot rendering for logs/CI. Covers the PCLVisualizer/CloudViewer use
+case (inspect a result) in a server environment.
+"""
+
+from pcl_tpu.visualization.export import (
+    cloud_to_html,
+    mesh_to_html,
+    render_ascii,
+)
