@@ -211,8 +211,51 @@ def smallest_eigenvector33(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 # ---------------------------------------------------------------------------
-# Rigid alignment (Umeyama / weighted SVD)
+# Rigid alignment (Umeyama / weighted SVD, Horn quaternion form)
 # ---------------------------------------------------------------------------
+
+def rotation_from_cross_covariance(H: jax.Array, iters: int = 40) -> jax.Array:
+    """Optimal rotation R maximizing trace(R^T H) for H = sum w d s^T,
+    via Horn's unit-quaternion method: the top eigenvector of the symmetric
+    4x4 K(H), found by shifted power iteration (branch-free — XLA's
+    iterative 3x3 SVD dominates an ICP iteration on TPU; this is a handful
+    of 4x4 matvecs instead).
+
+    Batched over leading dims.
+    """
+    Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    Szx, Szy, Szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    # K matrix (Horn 1987) for R maximizing sum w (R s) . d with H = sum d s^T
+    K = jnp.stack([
+        jnp.stack([Sxx + Syy + Szz, Szy - Syz, Sxz - Szx, Syx - Sxy], -1),
+        jnp.stack([Szy - Syz, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1),
+        jnp.stack([Sxz - Szx, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy], -1),
+        jnp.stack([Syx - Sxy, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz], -1),
+    ], axis=-2)
+    # shift to make the top eigenvalue dominant and positive
+    shift = jnp.linalg.norm(K, axis=(-2, -1)) + 1e-12
+    Ks = K + shift[..., None, None] * jnp.eye(4, dtype=K.dtype)
+
+    q0 = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0, 0.0], K.dtype), K.shape[:-2] + (4,)
+    )
+
+    def body(q, _):
+        q = jnp.einsum("...ij,...j->...i", Ks, q)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+        return q, None
+
+    q, _ = jax.lax.scan(body, q0, None, length=iters)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # quaternion -> rotation matrix
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+    return R
+
 
 def umeyama(
     src: jax.Array,
@@ -236,16 +279,21 @@ def umeyama(
     dd = dst - mu_d[..., None, :]
     # 3x3 cross-covariance: H = sum_i w_i dd_i ds_i^T
     H = jnp.einsum("...ni,...nj->...ij", dd * w[..., None], ds)
-    U, S, Vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
-    D = jnp.concatenate(
-        [jnp.ones_like(S[..., :2]), d[..., None]], axis=-1
-    )
-    R = jnp.einsum("...ik,...k,...kj->...ij", U, D, Vt)
     if with_scale:
+        # scale needs the singular values: keep the SVD form here
+        U, S, Vt = jnp.linalg.svd(H)
+        d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+        D = jnp.concatenate(
+            [jnp.ones_like(S[..., :2]), d[..., None]], axis=-1
+        )
+        R = jnp.einsum("...ik,...k,...kj->...ij", U, D, Vt)
         # c = trace(D S) / (sum_i w_i ||ds_i||^2)
         c = jnp.sum(S * D, axis=-1) / jnp.maximum(jnp.sum(jnp.sum(ds * ds, axis=-1) * w, axis=-1), _EPS)
         R = R * c[..., None, None]
+    else:
+        # rigid case: Horn quaternion (always a proper rotation, no
+        # iterative SVD in the ICP hot loop)
+        R = rotation_from_cross_covariance(H)
     t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
     T = jnp.zeros(src.shape[:-2] + (4, 4), src.dtype)
     T = T.at[..., :3, :3].set(R)

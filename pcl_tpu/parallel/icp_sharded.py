@@ -31,14 +31,12 @@ def _umeyama_from_moments(S0, Ss, Sd, M):
     """Rigid transform from psum-able moments: S0=sum w, Ss=sum w*src,
     Sd=sum w*dst, M=sum w * dst src^T. Algebraically identical to
     geometry.umeyama (H = M - Sd Ss^T / S0)."""
+    from pcl_tpu.core.geometry import rotation_from_cross_covariance
     S0 = jnp.maximum(S0, _EPS)
     mu_s = Ss / S0
     mu_d = Sd / S0
     H = M - jnp.outer(mu_d, Ss)
-    U, S, Vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
-    D = jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * d
-    R = (U * D[None, :]) @ Vt
+    R = rotation_from_cross_covariance(H)
     t = mu_d - R @ mu_s
     T = jnp.eye(4, dtype=H.dtype)
     T = T.at[:3, :3].set(R)
