@@ -18,6 +18,12 @@ from pcl_tpu.filters.morphological import (
     morphological_filter,
     progressive_morphological_filter,
 )
+from pcl_tpu.filters.crop_hull import (
+    crop_hull,
+    conditional_removal,
+    median_filter,
+    field, gt, lt, ge, le, and_, or_, not_,
+)
 
 __all__ = [
     "voxel_downsample",
@@ -43,4 +49,7 @@ __all__ = [
     "extract_indices",
     "morphological_filter",
     "progressive_morphological_filter",
+    "crop_hull",
+    "conditional_removal",
+    "median_filter",
 ]

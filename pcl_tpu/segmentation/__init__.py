@@ -11,3 +11,4 @@ from pcl_tpu.segmentation.clustering import (
 )
 from pcl_tpu.segmentation.region_growing import region_growing
 from pcl_tpu.segmentation.sac_segmentation import sac_segmentation, segment_differences
+from pcl_tpu.segmentation.supervoxel import supervoxel_clustering, SupervoxelResult

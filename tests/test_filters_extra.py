@@ -135,3 +135,59 @@ class TestTracking:
                                        coherence_sigma=0.1)
             err = np.abs(np.asarray(pose) - true_pose).max()
         assert err < 0.1, err
+
+
+class TestCropHullConditional:
+    def test_crop_hull_cube(self, rng):
+        from pcl_tpu.surface import convex_hull
+        from pcl_tpu.filters import crop_hull
+        corners = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                            for z in (0, 1)], np.float32)
+        hv, ht = convex_hull(make_cloud(jnp.asarray(corners)))
+        pts = rng.uniform(-0.5, 1.5, size=(400, 3)).astype(np.float32)
+        c = make_cloud(jnp.asarray(pts))
+        out = crop_hull(c, hv, ht)
+        m = np.asarray(out.mask)
+        inside = ((pts > 0) & (pts < 1)).all(axis=1)
+        assert (m == inside).mean() > 0.98
+
+    def test_conditional_removal(self, rng):
+        from pcl_tpu import filters as F
+        pts = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
+        c = make_cloud(jnp.asarray(pts))
+        cond = F.and_(F.gt(F.field("z"), 0.0), F.lt(F.field("x"), 0.5))
+        out = F.conditional_removal(c, cond)
+        m = np.asarray(out.mask)
+        expect = (pts[:, 2] > 0) & (pts[:, 0] < 0.5)
+        np.testing.assert_array_equal(m, expect)
+
+    def test_median_filter_organized(self, rng):
+        from pcl_tpu.filters import median_filter
+        from pcl_tpu.core.cloud import make_cloud as mk
+        H, W = 20, 30
+        v, u = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        z = np.ones((H, W), np.float32)
+        z[10, 15] = 5.0  # salt noise
+        xyz = np.stack([u, v, z], -1).reshape(-1, 3).astype(np.float32)
+        c = mk(jnp.asarray(xyz), width=W, height=H)
+        out = median_filter(c, window=3)
+        z2 = np.asarray(out.xyz)[:, 2].reshape(H, W)
+        assert abs(z2[10, 15] - 1.0) < 1e-5
+
+
+class TestSupervoxels:
+    def test_blob_partition(self, rng):
+        from pcl_tpu.segmentation import supervoxel_clustering
+        from pcl_tpu import features
+        pts = rng.uniform(0, 2, size=(1500, 3)).astype(np.float32)
+        c = make_cloud(jnp.asarray(pts))
+        c = features.estimate_normals(c, k=10)
+        res = supervoxel_clustering(c, seed_resolution=0.5, max_seeds=128)
+        lab = np.asarray(res.labels)
+        assert (lab >= 0).mean() > 0.95
+        n_sv = len(np.unique(lab[lab >= 0]))
+        assert 20 <= n_sv <= 128
+        # supervoxels are spatially compact: point-to-center distance bounded
+        centers = np.asarray(res.centers)
+        d = np.linalg.norm(pts[lab >= 0] - centers[lab[lab >= 0]], axis=1)
+        assert np.percentile(d, 95) < 1.0
