@@ -71,3 +71,34 @@ class TestHarris:
         c = features.estimate_normals(c, k=10)
         kp, resp = harris3d_keypoints(c, radius=0.25, response=response)
         assert np.isfinite(np.asarray(resp)).all()
+
+
+class TestSIFT:
+    def test_bump_detected(self, rng):
+        from pcl_tpu.keypoints import sift_keypoints
+        # flat plane with a Gaussian bump in z: the bump center is a
+        # scale-space extremum of the z field
+        u = rng.uniform(-1, 1, size=(1500, 2)).astype(np.float32)
+        z = 0.3 * np.exp(-((u[:, 0] - 0.2) ** 2 + (u[:, 1] + 0.1) ** 2) / 0.02)
+        pts = np.stack([u[:, 0], u[:, 1], z], 1).astype(np.float32)
+        c = make_cloud(jnp.asarray(pts))
+        kp, scale = sift_keypoints(c, min_scale=0.05, n_octaves=2,
+                                   min_contrast=0.01)
+        kp = np.asarray(kp)
+        assert kp.any()
+        d_bump = np.linalg.norm(u - [0.2, -0.1], axis=1)
+        # at least one keypoint near the bump
+        assert d_bump[kp].min() < 0.15
+
+
+class TestSUSAN:
+    def test_corner_detected(self, rng):
+        from pcl_tpu.keypoints import susan_keypoints
+        pts = box_cloud(rng)
+        c = make_cloud(jnp.asarray(pts))
+        c = features.estimate_normals(c, k=12, viewpoint=jnp.asarray([2.0, 2, 2]))
+        kp, resp = susan_keypoints(c, radius=0.25)
+        kp = np.asarray(kp)
+        assert kp.any()
+        interior = (pts > 0.4).sum(1) >= 2
+        assert kp[interior].mean() < 0.02
