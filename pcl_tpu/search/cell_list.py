@@ -3,17 +3,20 @@
 The voxel hash grid in ``hashgrid.py`` is CSR-shaped: queries gather 27*cap
 individual point rows, and XLA lowers that to millions of tiny random reads
 (measured 349 ms for 120k queries on a v5e — slower than brute force). This
-index instead scatters the points into a DENSE table ``[buckets, cap, 3]``
-once at build time; a query then gathers 27 contiguous (cap, 3) slabs —
-an order of magnitude fewer, larger, coalesced reads — and reduces the
-27*cap candidates with plain VPU math.
+index instead packs each bucket into ONE CONTIGUOUS ROW of
+``cap * 4`` floats — (x, y, z, original-index) per slot — so a query's
+neighborhood is a handful of dense row gathers. Row-packing matters: with a
+``[buckets, cap, 3]`` layout each gathered slab occupies a padded
+(8 sublane, 128 lane) tile, inflating 48 real bytes to 4 KB of HBM traffic
+per slab; the packed row is read at its true size (measured 15.5 -> ~3 ms
+for the 120k-point ICP correspondence sweep).
 
 This is the cell-list structure of molecular dynamics, replacing PCL's
 kd-tree for the registration hot loop (reference: ICP's per-point
 nearestKSearch, registration/impl/correspondence_estimation.hpp:175): ICP
 with a finite max correspondence distance r only ever needs "nearest
-neighbor within r", which the 3x3x3 neighborhood of an r-sized cell answers
-EXACTLY (up to bucket overflow, which is detectable and capped by choosing
+neighbor within r", which a bounded cell neighborhood answers EXACTLY
+(up to bucket overflow, which is detectable and capped by choosing
 ``cap`` >= local density).
 
 Build cost: one sort + one scatter over the target — paid once per align(),
@@ -55,18 +58,28 @@ class CellTable:
     cell_size: jax.Array     # scalar f32
     table_size: int          # static
     cap: int                 # static points per bucket
-    xyz: jax.Array           # [table_size + 1, cap, 3]; empty slots at _BIG
-    idx: jax.Array           # [table_size + 1, cap] original indices (or 0)
+    data: jax.Array          # [table_size + 1, cap * 4] packed rows:
+                             # slot j occupies lanes [4j, 4j+4) = (x, y, z,
+                             # original index as f32); empty slots x=_BIG
     count: jax.Array         # [table_size + 1] true per-bucket population
                              # (may exceed cap -> truncation detectable)
 
     def tree_flatten(self):
-        return (self.cell_size, self.xyz, self.idx, self.count), (self.table_size, self.cap)
+        return (self.cell_size, self.data, self.count), (self.table_size, self.cap)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cell_size, xyz, idx, count = children
-        return cls(cell_size, aux[0], aux[1], xyz, idx, count)
+        cell_size, data, count = children
+        return cls(cell_size, aux[0], aux[1], data, count)
+
+    # compatibility views (tests/oracles use these)
+    @property
+    def xyz(self) -> jax.Array:
+        return self.data.reshape(self.table_size + 1, self.cap, 4)[..., :3]
+
+    @property
+    def idx(self) -> jax.Array:
+        return self.data.reshape(self.table_size + 1, self.cap, 4)[..., 3].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("table_size", "cap"))
@@ -77,7 +90,10 @@ def build(
     table_size: int = 1 << 17,
     cap: int = 16,
 ) -> CellTable:
-    """Scatter points into the dense bucket table (one sort + one scatter)."""
+    """Scatter points into the packed bucket table (one sort + one scatter).
+
+    Note: original indices are stored as f32 — exact for clouds up to 2^24
+    points."""
     n = xyz.shape[0]
     cell_size = jnp.asarray(cell_size, jnp.float32)
     h = _hash(_cell_coords(xyz, cell_size), table_size)
@@ -92,18 +108,18 @@ def build(
     keep = rank < cap
     # overflowing ranks land in the overflow row's slot 0 (harmlessly
     # overwritten; the overflow row is never a real bucket)
-    flat = jnp.where(keep, hs * cap + rank, jnp.int32(table_size * cap))
-    tbl_xyz = jnp.full(((table_size + 1) * cap, 3), _BIG, jnp.float32)
-    tbl_idx = jnp.zeros(((table_size + 1) * cap,), jnp.int32)
-    src_xyz = jnp.where((mask[order] & keep)[:, None], xyz[order], _BIG)
-    tbl_xyz = tbl_xyz.at[flat].set(src_xyz, mode="drop")
-    tbl_idx = tbl_idx.at[flat].set(order.astype(jnp.int32), mode="drop")
+    slot = jnp.where(keep, hs * cap + rank, jnp.int32(table_size * cap))
+    rows = jnp.concatenate([
+        jnp.where((mask[order] & keep)[:, None], xyz[order], _BIG),
+        order.astype(jnp.float32)[:, None],
+    ], axis=1)                                              # [n, 4]
+    tbl = jnp.full(((table_size + 1) * cap, 4), _BIG, jnp.float32)
+    tbl = tbl.at[slot].set(rows, mode="drop")
     return CellTable(
         cell_size=cell_size,
         table_size=table_size,
         cap=cap,
-        xyz=tbl_xyz.reshape(table_size + 1, cap, 3),
-        idx=tbl_idx.reshape(table_size + 1, cap),
+        data=tbl.reshape(table_size + 1, cap * 4),
         count=count,
     )
 
@@ -116,9 +132,7 @@ def _neighbor_buckets(table: CellTable, queries: jax.Array, r=None):
       cell;
     - 8-cell (cell_size >= 2r, requires ``r``): the ball B(q, r) spans at
       most 2 cells per axis, so only the 2x2x2 block anchored at
-      floor((q - r)/cell) is needed — 3.4x fewer slab gathers, the dominant
-      cost of a query (measured: the [Q,27,cap,3] gather is ~70% of query
-      time at 120k points).
+      floor((q - r)/cell) is needed — 3.4x fewer row gathers.
     """
     if r is None:
         qc = _cell_coords(queries, table.cell_size)
@@ -131,14 +145,12 @@ def _neighbor_buckets(table: CellTable, queries: jax.Array, r=None):
     return _hash(base[:, None, :] + offs[None, :, :], table.table_size)
 
 
-def _candidates(table: CellTable, queries: jax.Array):
-    """Gather the 27-cell slab neighborhood: returns (cand_xyz [Q,27,cap,3],
-    cand_idx [Q,27,cap], truncated [Q])."""
-    buckets = _neighbor_buckets(table, queries)
-    cand_xyz = table.xyz[buckets]                           # [Q,27,cap,3] slab gather
-    cand_idx = table.idx[buckets]                           # [Q,27,cap]
-    truncated = jnp.any(table.count[buckets] > table.cap, axis=-1)
-    return cand_xyz, cand_idx, truncated
+def _gather_rows(table: CellTable, buckets: jax.Array):
+    """[Q,O] bucket ids -> (cand_xyz [Q,O*cap,3], cand_idx [Q,O*cap] f32)."""
+    Q = buckets.shape[0]
+    rows = table.data[buckets]                            # [Q,O,cap*4] dense rows
+    c = rows.reshape(Q, -1, 4)
+    return c[..., :3], c[..., 3]
 
 
 @partial(jax.jit, static_argnames=("compact",))
@@ -156,27 +168,29 @@ def nn1_radius(
     the radius gate removes.
 
     ``compact`` uses the 8-cell scheme, valid when cell_size >= 2r — ICP
-    builds its table that way. The winner's original index is recovered
-    AFTER the argmin from (bucket, lane), so only coordinates stream
-    through HBM during the reduction.
+    builds its table that way.
     """
     buckets = _neighbor_buckets(table, queries, r if compact else None)
-    cand_xyz = table.xyz[buckets]                           # [Q,O,cap,3]
+    cand_xyz, cand_idx = _gather_rows(table, buckets)
     truncated = jnp.any(table.count[buckets] > table.cap, axis=-1)
-    Q = queries.shape[0]
-    d = cand_xyz - queries[:, None, None, :]
-    d2 = jnp.sum(d * d, axis=-1).reshape(Q, -1)             # [Q, O*cap]
+    d = cand_xyz - queries[:, None, :]
+    d2 = jnp.sum(d * d, axis=-1)                          # [Q, O*cap]
     r2 = jnp.asarray(r, jnp.float32) ** 2
     d2 = jnp.where(d2 <= r2, d2, jnp.inf)
     best = jnp.argmin(d2, axis=-1)
     best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
-    # index recovery: flat winner -> (bucket, lane) -> original index
-    win_bucket = jnp.take_along_axis(
-        buckets, (best // table.cap)[:, None], axis=-1
-    )[:, 0]
-    win_lane = best % table.cap
-    best_idx = table.idx[win_bucket, win_lane]
-    return best_idx, best_d2, truncated
+    best_idx = jnp.take_along_axis(cand_idx, best[:, None], axis=-1)[:, 0]
+    return best_idx.astype(jnp.int32), best_d2, truncated
+
+
+def _dedup_mask(table: CellTable, queries: jax.Array, buckets: jax.Array):
+    """Mask duplicate buckets among an offset set (hash collisions between
+    offsets would duplicate candidates in k>1 lists)."""
+    O = buckets.shape[1]
+    dup = jnp.zeros(buckets.shape, bool)
+    for i in range(1, O):
+        dup = dup.at[:, i].set((buckets[:, :i] == buckets[:, i : i + 1]).any(axis=1))
+    return jnp.repeat(dup, table.cap, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -190,26 +204,18 @@ def knn_radius(
     k-th neighbor within cell_size when not truncated; ``r`` optionally
     tightens the radius). Returns (idx [Q,k], sqdist [Q,k], valid [Q,k],
     truncated [Q])."""
-    cand_xyz, cand_idx, truncated = _candidates(table, queries)
-    Q = queries.shape[0]
-    d = cand_xyz - queries[:, None, None, :]
-    d2 = jnp.sum(d * d, axis=-1).reshape(Q, -1)
+    buckets = _neighbor_buckets(table, queries)
+    cand_xyz, cand_idx = _gather_rows(table, buckets)
+    truncated = jnp.any(table.count[buckets] > table.cap, axis=-1)
+    d = cand_xyz - queries[:, None, :]
+    d2 = jnp.sum(d * d, axis=-1)
     if r is not None:
         r2 = jnp.asarray(r, jnp.float32) ** 2
         d2 = jnp.where(d2 <= r2, d2, jnp.inf)
-    # duplicate buckets among the 27 offsets (hash collisions) would return
-    # the same point twice in a k>1 list; mask duplicates by bucket id
-    qc = _cell_coords(queries, table.cell_size)
-    buckets = _hash(qc[:, None, :] + _OFFSETS[None, :, :], table.table_size)
-    dup = jnp.zeros(buckets.shape, bool)
-    for i in range(1, 27):
-        dup = dup.at[:, i].set((buckets[:, :i] == buckets[:, i : i + 1]).any(axis=1))
-    d2 = jnp.where(
-        jnp.repeat(dup, table.cap, axis=-1), jnp.inf, d2
-    )
+    d2 = jnp.where(_dedup_mask(table, queries, buckets), jnp.inf, d2)
     neg, which = jax.lax.top_k(-d2, k)
     dd = -neg
-    idx = jnp.take_along_axis(cand_idx.reshape(Q, -1), which, axis=-1)
+    idx = jnp.take_along_axis(cand_idx, which, axis=-1).astype(jnp.int32)
     return idx, dd, jnp.isfinite(dd), truncated
 
 
@@ -223,17 +229,11 @@ def radius_search(
     """All neighbors within r (up to cap_out nearest). Returns
     (idx [Q,cap_out], sqdist, valid, count [Q], truncated [Q])."""
     idx, dd, valid, truncated = knn_radius(table, queries, cap_out, r)
-    # count distinct in-radius candidates (duplicates already masked)
-    cand_xyz, _, _ = _candidates(table, queries)
-    Q = queries.shape[0]
-    d = cand_xyz - queries[:, None, None, :]
-    d2 = jnp.sum(d * d, axis=-1).reshape(Q, -1)
+    buckets = _neighbor_buckets(table, queries)
+    cand_xyz, _ = _gather_rows(table, buckets)
+    d = cand_xyz - queries[:, None, :]
+    d2 = jnp.sum(d * d, axis=-1)
     r2 = jnp.asarray(r, jnp.float32) ** 2
-    qc = _cell_coords(queries, table.cell_size)
-    buckets = _hash(qc[:, None, :] + _OFFSETS[None, :, :], table.table_size)
-    dup = jnp.zeros(buckets.shape, bool)
-    for i in range(1, 27):
-        dup = dup.at[:, i].set((buckets[:, :i] == buckets[:, i : i + 1]).any(axis=1))
-    inside = (d2 <= r2) & ~jnp.repeat(dup, table.cap, axis=-1)
+    inside = (d2 <= r2) & ~_dedup_mask(table, queries, buckets)
     count = jnp.sum(inside, axis=-1).astype(jnp.int32)
     return idx, dd, valid, count, truncated
