@@ -207,3 +207,31 @@ class TestOctreeCompression:
         xyz, _ = to_numpy(out)
         assert len(xyz) == 1
         np.testing.assert_allclose(xyz[0], [1.05, 2.05, 3.05], atol=0.06)
+
+
+class TestGrabber:
+    def test_pcd_grabber_replays_sequence(self, tmp_path, rng):
+        from pcl_tpu.io.grabber import PCDGrabber, CloudIterator
+        for i in range(3):
+            xyz = rng.normal(size=(50 + i, 3)).astype(np.float32)
+            pcd.save(tmp_path / f"frame_{i:03d}.pcd", from_numpy(xyz))
+        g = PCDGrabber(str(tmp_path))
+        frames = []
+        g.register_callback(lambda c: frames.append(int(c.count)))
+        g.start()
+        import time
+        for _ in range(100):
+            if not g.is_running():
+                break
+            time.sleep(0.05)
+        g.stop()
+        assert frames == [50, 51, 52]
+
+    def test_cloud_iterator(self, tmp_path, rng):
+        from pcl_tpu.io.grabber import PCDGrabber, CloudIterator
+        for i in range(2):
+            pcd.save(tmp_path / f"f{i}.pcd",
+                     from_numpy(rng.normal(size=(20, 3)).astype(np.float32)))
+        it = CloudIterator(PCDGrabber(str(tmp_path)))
+        counts = [int(c.count) for c in it]
+        assert counts == [20, 20]
