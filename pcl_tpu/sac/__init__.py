@@ -15,8 +15,18 @@ from pcl_tpu.sac.models import (
     LineModel,
     SphereModel,
     CircleModel3D,
+    Circle2DModel,
     CylinderModel,
+    ConeModel,
+    TorusModel,
+    Ellipse3DModel,
     StickModel,
     RegistrationModel,
+    PerpendicularPlaneModel,
+    ParallelPlaneModel,
+    ParallelLineModel,
+    NormalPlaneModel,
+    NormalParallelPlaneModel,
+    NormalSphereModel,
 )
 from pcl_tpu.sac.ransac import ransac, SacResult, Method

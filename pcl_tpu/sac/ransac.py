@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from pcl_tpu.sac.models import SacModel, RegistrationModel
 
-Method = ("ransac", "msac", "lmeds", "rransac", "mlesac")
+Method = ("ransac", "msac", "lmeds", "rransac", "rmsac", "mlesac")
 
 
 class SacResult(NamedTuple):
@@ -54,6 +54,26 @@ def _sample_indices(key, n_hypotheses, sample_size, n_points, probs):
     return idx
 
 
+def _prosac_indices(key, n_hypotheses, sample_size, n_points, quality, mask):
+    """PROSAC progressive sampling (reference: prosac.hpp): hypothesis b
+    draws from the m_b highest-quality points, with m_b growing linearly
+    from sample_size to N over the batch — the batched analog of PROSAC's
+    growth function. ``quality`` is higher-is-better per point."""
+    order = jnp.argsort(jnp.where(mask, -quality, jnp.inf))          # [N] best first
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    b = jnp.arange(n_hypotheses, dtype=jnp.float32) / max(n_hypotheses - 1, 1)
+    m_b = (sample_size + b * (n_valid.astype(jnp.float32) - sample_size)).astype(jnp.int32)
+    m_b = jnp.maximum(m_b, sample_size)                              # [B]
+    keys = jax.random.split(key, sample_size)
+    ranks = jnp.arange(n_points, dtype=jnp.float32)
+    cols = []
+    for k in keys:
+        logits = jnp.where(ranks[None, :] < m_b[:, None], 0.0, -jnp.inf)  # [B, N]
+        r = jax.random.categorical(k, logits)                        # rank position
+        cols.append(order[r])
+    return jnp.stack(cols, axis=1).astype(jnp.int32)
+
+
 @partial(
     jax.jit,
     static_argnames=("model", "n_hypotheses", "method", "refine", "rransac_frac"),
@@ -71,6 +91,7 @@ def ransac(
     normals: Optional[jax.Array] = None,
     target_xyz: Optional[jax.Array] = None,
     rransac_frac: float = 0.1,
+    quality: Optional[jax.Array] = None,
 ) -> SacResult:
     """Fit ``model`` to the masked points robustly.
 
@@ -85,9 +106,14 @@ def ransac(
     probs = w / jnp.maximum(jnp.sum(w), 1.0)
 
     k_idx, k_sub = jax.random.split(key)
-    idx = _sample_indices(k_idx, n_hypotheses, model.sample_size, n, probs)
+    if quality is not None:
+        # PROSAC-style progressive sampling from quality-ranked points
+        idx = _prosac_indices(k_idx, n_hypotheses, model.sample_size, n, quality, mask)
+    else:
+        idx = _sample_indices(k_idx, n_hypotheses, model.sample_size, n, probs)
     samples = xyz[idx]                                     # [B, m, 3]
     sample_normals = normals[idx] if normals is not None else None
+    scores_with_normals = getattr(model, "scores_with_normals", False) and normals is not None
 
     paired = isinstance(model, RegistrationModel)
     if paired:
@@ -95,6 +121,9 @@ def ransac(
             raise ValueError("RegistrationModel requires target_xyz")
         coeffs = model.fit(samples, target_samples=target_xyz[idx])
         d = model.distances(coeffs, xyz, target_xyz=target_xyz)
+    elif scores_with_normals:
+        coeffs = model.fit(samples, sample_normals)
+        d = model.distances(coeffs, xyz, normals=normals)  # [B, N]
     else:
         coeffs = model.fit(samples, sample_normals)
         d = model.distances(coeffs, xyz)                   # [B, N]
@@ -115,6 +144,10 @@ def ransac(
     elif method == "rransac":
         sub = jax.random.bernoulli(k_sub, rransac_frac, (n,)) & mask
         score = jnp.sum(((d <= thr) & sub[None, :]).astype(jnp.float32), axis=-1)
+    elif method == "rmsac":
+        sub = (jax.random.bernoulli(k_sub, rransac_frac, (n,)) & mask)[None, :]
+        loss = jnp.where(sub, jnp.minimum(d * d, thr * thr), 0.0)
+        score = -jnp.sum(loss, axis=-1)
     elif method == "mlesac":
         sigma = thr / 2.0
         inlier_ll = jnp.exp(-0.5 * (d / sigma) ** 2) / (sigma * 2.5066283)
@@ -143,6 +176,8 @@ def ransac(
         # recompute inliers under the refined model
         if paired:
             d_ref = model.distances(best_coeffs, xyz, target_xyz=target_xyz)
+        elif scores_with_normals:
+            d_ref = model.distances(best_coeffs[None], xyz, normals=normals)[0]
         else:
             d_ref = model.distances(best_coeffs[None], xyz)[0]
         inliers = mask & (d_ref <= thr)
