@@ -120,3 +120,33 @@ def fpcs_align(
     best = jnp.argmin(errs)
     return IAResult(transform=Ts[best], error=errs[best],
                     valid=jnp.isfinite(errs[best]))
+
+
+def kfpcs_align(
+    source: Cloud,
+    target: Cloud,
+    *,
+    salient_radius: float,
+    non_max_radius: Optional[float] = None,
+    delta: float = 0.05,
+    key: Optional[jax.Array] = None,
+    **fpcs_kw,
+) -> IAResult:
+    """Keypoint-based FPCS (reference: ia_kfpcs.h:64 —
+    KFPCSInitialAlignment restricts congruent-set search to keypoints,
+    trading density for distinctive, repeatable bases).
+
+    Runs ISS3D on both clouds and feeds only the keypoints to fpcs_align;
+    falls back to the full clouds when too few keypoints survive.
+    """
+    from pcl_tpu.keypoints.iss import iss3d_keypoints
+
+    if non_max_radius is None:
+        non_max_radius = salient_radius * 0.5
+    kp_s, _ = iss3d_keypoints(source, salient_radius, non_max_radius)
+    kp_t, _ = iss3d_keypoints(target, salient_radius, non_max_radius)
+    # keep clouds' static shapes: keypoints become the validity mask
+    enough = (int(jnp.sum(kp_s)) >= 8) and (int(jnp.sum(kp_t)) >= 8)
+    src = Cloud(xyz=source.xyz, mask=kp_s) if enough else source
+    tgt = Cloud(xyz=target.xyz, mask=kp_t) if enough else target
+    return fpcs_align(src, tgt, delta=delta, key=key, **fpcs_kw)
