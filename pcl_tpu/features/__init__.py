@@ -17,3 +17,6 @@ from pcl_tpu.features.local_misc import (
     moment_of_inertia,
     MomentsResult,
 )
+from pcl_tpu.features.local_misc import moment_invariants
+from pcl_tpu.features.rsd import estimate_rsd, estimate_grsd, GRSD_BINS
+from pcl_tpu.features.intensity import intensity_gradient, intensity_spin, rift

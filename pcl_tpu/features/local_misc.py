@@ -212,3 +212,28 @@ def moment_of_inertia(cloud: Cloud, n_steps: int = 36) -> MomentsResult:
         eigenvalues=lam_desc,
         eigenvectors=V_desc,
     )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def moment_invariants(cloud: Cloud, radius: float, k: int = 32) -> jax.Array:
+    """Per-point moment invariants [N,3] = (j1, j2, j3) of the neighborhood
+    central second moments (reference: features/include/pcl/features/
+    moment_invariants.h computePointMomentInvariants)."""
+    xyz, mask = cloud.xyz, cloud.mask
+    idx, d2, valid, _ = bruteforce.radius(xyz, mask, xyz, radius, cap=k)
+    idxc = jnp.clip(idx, 0, cloud.capacity - 1)
+    valid = valid & mask[:, None]
+    w = valid.astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    nbr = xyz[idxc]
+    mu = jnp.einsum("nk,nki->ni", w, nbr) / wsum[:, None]
+    d = nbr - mu[:, None, :]
+    m = jnp.einsum("nk,nki,nkj->nij", w, d, d)          # [N,3,3] central moments
+    mu200, mu020, mu002 = m[:, 0, 0], m[:, 1, 1], m[:, 2, 2]
+    mu110, mu101, mu011 = m[:, 0, 1], m[:, 0, 2], m[:, 1, 2]
+    j1 = mu200 + mu020 + mu002
+    j2 = (mu200 * mu020 + mu200 * mu002 + mu020 * mu002
+          - mu110 ** 2 - mu101 ** 2 - mu011 ** 2)
+    j3 = (mu200 * mu020 * mu002 + 2.0 * mu110 * mu101 * mu011
+          - mu002 * mu110 ** 2 - mu020 * mu101 ** 2 - mu200 * mu011 ** 2)
+    return jnp.where(mask[:, None], jnp.stack([j1, j2, j3], axis=-1), 0.0)

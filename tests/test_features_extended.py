@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pcl_tpu.core.cloud import make_cloud
+from pcl_tpu.core.cloud import make_cloud, Cloud
 from pcl_tpu.core import transforms as tf
 from pcl_tpu import features
 
@@ -137,3 +137,108 @@ class TestLocalMisc:
         V = np.asarray(res.obb_rotation)
         overlap = np.abs(V.T @ R)
         assert ((overlap > 0.97).sum(axis=1) == 1).all()
+
+
+class TestRSD:
+    def test_plane_vs_sphere_radii(self, rng):
+        from pcl_tpu.features.rsd import estimate_rsd
+        from pcl_tpu.features import estimate_normals
+        # plane: large radii (clamped to plane_radius); sphere r=0.05: small
+        n = 400
+        uv = rng.uniform(-0.5, 0.5, size=(n, 2)).astype(np.float32)
+        # plane below the viewpoint so normal orientation is consistent
+        plane = np.concatenate([uv, np.full((n, 1), -0.5, np.float32)], 1)
+        v = rng.normal(size=(n, 3)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        sphere = (np.float32([3, 0, 0]) + 0.05 * v).astype(np.float32)
+        c = Cloud(xyz=jnp.asarray(np.concatenate([plane, sphere])),
+                  mask=jnp.ones(2 * n, bool))
+        c = estimate_normals(c, k=12)
+        r_min, r_max = estimate_rsd(c, radius=0.08, plane_radius=0.2, k=24)
+        r_min = np.asarray(r_min)
+        r_max = np.asarray(r_max)
+        assert np.median(r_min[:n]) > 0.15          # flat -> clamped large
+        # sphere: radii near 0.05, clearly below the plane clamp (r_min is
+        # min-biased by normal estimation noise; r_max is the stable bound)
+        assert np.median(r_min[n:]) < 0.1
+        assert 0.02 < np.median(r_max[n:]) < 0.12
+
+    def test_grsd_distinguishes_shapes(self, rng):
+        from pcl_tpu.features.rsd import estimate_grsd
+        from pcl_tpu.features import estimate_normals
+        n = 400
+        uv = rng.uniform(-0.5, 0.5, size=(n, 2)).astype(np.float32)
+        plane = np.concatenate([uv, np.full((n, 1), -0.5, np.float32)], 1)
+        v = rng.normal(size=(n, 3)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        sphere = (0.05 * v).astype(np.float32)
+        c1 = estimate_normals(Cloud(xyz=jnp.asarray(plane), mask=jnp.ones(n, bool)), k=12)
+        c2 = estimate_normals(Cloud(xyz=jnp.asarray(sphere), mask=jnp.ones(n, bool)), k=12)
+        h1 = np.asarray(estimate_grsd(c1, radius=0.08))
+        h2 = np.asarray(estimate_grsd(c2, radius=0.02))
+        assert abs(h1.sum() - 1) < 1e-5 and abs(h2.sum() - 1) < 1e-5
+        assert np.abs(h1 - h2).sum() > 0.5          # clearly different
+
+
+class TestMomentInvariants:
+    def test_rotation_invariance(self, rng):
+        from pcl_tpu.features import moment_invariants
+        from pcl_tpu.core.transforms import se3_exp
+        pts = rng.normal(size=(300, 3)).astype(np.float32) * np.float32([1, 0.5, 0.2])
+        T = np.asarray(se3_exp(jnp.asarray([0, 0, 0, 0.4, -0.3, 0.6], jnp.float32)))
+        pts_r = pts @ T[:3, :3].T
+        m1 = np.asarray(moment_invariants(
+            Cloud(xyz=jnp.asarray(pts), mask=jnp.ones(300, bool)), radius=0.5))
+        m2 = np.asarray(moment_invariants(
+            Cloud(xyz=jnp.asarray(pts_r.astype(np.float32)), mask=jnp.ones(300, bool)), radius=0.5))
+        # invariants are rotation-invariant per point
+        np.testing.assert_allclose(m1, m2, rtol=0.05, atol=1e-4)
+
+
+class TestIntensityFamily:
+    def _textured_plane(self, rng, n=500):
+        uv = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
+        pts = np.concatenate([uv, np.zeros((n, 1), np.float32)], 1)
+        inten = (2.0 * uv[:, 0]).astype(np.float32)   # gradient along +x
+        normals = np.tile(np.float32([0, 0, 1]), (n, 1))
+        from pcl_tpu.core.cloud import ATTR_NORMAL, ATTR_INTENSITY
+        return Cloud(xyz=jnp.asarray(pts), mask=jnp.ones(n, bool),
+                     attrs={ATTR_NORMAL: jnp.asarray(normals),
+                            ATTR_INTENSITY: jnp.asarray(inten)})
+
+    def test_gradient_direction(self, rng):
+        from pcl_tpu.features import intensity_gradient
+        c = self._textured_plane(rng)
+        g = np.asarray(intensity_gradient(c, radius=0.3, k=24))
+        gm = g[np.linalg.norm(g, axis=1) > 0.1]
+        u = gm / np.linalg.norm(gm, axis=1, keepdims=True)
+        assert np.median(u[:, 0]) > 0.95              # points along +x
+        assert abs(np.median(u[:, 2])) < 0.05         # in tangent plane
+        assert abs(np.median(np.linalg.norm(gm, axis=1)) - 2.0) < 0.3
+
+    def test_intensity_spin_normalized(self, rng):
+        from pcl_tpu.features import intensity_spin
+        c = self._textured_plane(rng)
+        h = np.asarray(intensity_spin(c, radius=0.3, k=24))
+        assert h.shape == (500, 20)
+        np.testing.assert_allclose(h.sum(1), 1.0, atol=1e-4)
+
+    def test_rift_rotation_invariance(self, rng):
+        from pcl_tpu.features import intensity_gradient, rift
+        c = self._textured_plane(rng)
+        g = intensity_gradient(c, radius=0.3, k=24)
+        h = np.asarray(rift(c, radius=0.3, gradients=g, k=24))
+        assert h.shape == (500, 32)
+        # rotate the plane about z: descriptor should be ~unchanged
+        th = 0.8
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+        xyz_r = np.asarray(c.xyz) @ R.T
+        from pcl_tpu.core.cloud import ATTR_NORMAL, ATTR_INTENSITY
+        c2 = Cloud(xyz=jnp.asarray(xyz_r), mask=c.mask,
+                   attrs={ATTR_NORMAL: c.attrs[ATTR_NORMAL],
+                          ATTR_INTENSITY: c.attrs[ATTR_INTENSITY]})
+        g2 = intensity_gradient(c2, radius=0.3, k=24)
+        h2 = np.asarray(rift(c2, radius=0.3, gradients=g2, k=24))
+        valid = h.sum(1) > 0
+        assert np.abs(h[valid] - h2[valid]).max() < 0.15
