@@ -20,3 +20,9 @@ from pcl_tpu.features.local_misc import (
 from pcl_tpu.features.local_misc import moment_invariants
 from pcl_tpu.features.rsd import estimate_rsd, estimate_grsd, GRSD_BINS
 from pcl_tpu.features.intensity import intensity_gradient, intensity_spin, rift
+from pcl_tpu.features.cvfh import (
+    estimate_cvfh, estimate_our_cvfh, estimate_crh, crh_align,
+    ClusteredSignatures,
+)
+from pcl_tpu.features.gasd import estimate_gasd, estimate_gasd_color
+from pcl_tpu.features.integral_normals import integral_image_normals
