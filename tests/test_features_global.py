@@ -133,3 +133,89 @@ class TestIntegralNormals:
         n, _ = integral_image_normals(jnp.asarray(xyz), jnp.asarray(valid))
         n = np.asarray(n)
         assert (np.linalg.norm(n[12:18, 12:18], axis=-1) == 0).all()
+
+
+class TestShapeContext:
+    def test_3dsc_shape_and_norm(self, rng):
+        pts = rng.normal(size=(300, 3)).astype(np.float32)
+        c = estimate_normals(Cloud(xyz=jnp.asarray(pts), mask=jnp.ones(300, bool)), k=12)
+        from pcl_tpu.features import estimate_3dsc
+        h = np.asarray(estimate_3dsc(c, radius=1.0, k=48))
+        assert h.shape == (300, 15 * 11 * 12)
+        norms = np.linalg.norm(h, axis=1)
+        assert (np.abs(norms[norms > 0] - 1) < 1e-4).all()
+
+    def test_usc_rotation_covariance(self, rng):
+        from pcl_tpu.core.transforms import se3_exp
+        from pcl_tpu.features import estimate_usc
+        pts = rng.normal(size=(300, 3)).astype(np.float32) * np.float32([1, 0.6, 0.3])
+        c1 = Cloud(xyz=jnp.asarray(pts), mask=jnp.ones(300, bool))
+        T = np.asarray(se3_exp(jnp.asarray([0, 0, 0, 0.4, -0.3, 0.5], jnp.float32)))
+        pts2 = (pts @ T[:3, :3].T).astype(np.float32)
+        c2 = Cloud(xyz=jnp.asarray(pts2), mask=jnp.ones(300, bool))
+        h1, f1 = estimate_usc(c1, radius=1.0, k=48)
+        h2, f2 = estimate_usc(c2, radius=1.0, k=48)
+        h1, h2 = np.asarray(h1), np.asarray(h2)
+        ok = (h1.sum(1) > 0) & (h2.sum(1) > 0)
+        # unique LRF makes the descriptor rotation-invariant for most points
+        diff = np.abs(h1[ok] - h2[ok]).sum(1)
+        assert np.median(diff) < 0.5
+
+
+class TestRoPS:
+    def test_shape_and_invariance(self, rng):
+        from pcl_tpu.core.transforms import se3_exp
+        from pcl_tpu.features import estimate_rops
+        pts = rng.normal(size=(300, 3)).astype(np.float32) * np.float32([1, 0.6, 0.3])
+        c1 = Cloud(xyz=jnp.asarray(pts), mask=jnp.ones(300, bool))
+        d1, _ = estimate_rops(c1, radius=1.0, k=48)
+        d1 = np.asarray(d1)
+        assert d1.shape == (300, 135)
+        T = np.asarray(se3_exp(jnp.asarray([0, 0, 0, 0.3, 0.2, -0.4], jnp.float32)))
+        pts2 = (pts @ T[:3, :3].T).astype(np.float32)
+        d2, _ = estimate_rops(Cloud(xyz=jnp.asarray(pts2), mask=jnp.ones(300, bool)),
+                              radius=1.0, k=48)
+        d2 = np.asarray(d2)
+        ok = (np.abs(d1).sum(1) > 0) & (np.abs(d2).sum(1) > 0)
+        rel = np.abs(d1[ok] - d2[ok]).sum(1) / np.maximum(np.abs(d1[ok]).sum(1), 1e-6)
+        assert np.median(rel) < 0.3
+
+
+class TestLRFs:
+    def test_board_flare_orthonormal(self, rng):
+        from pcl_tpu.features import board_lrf, flare_lrf
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        c = estimate_normals(Cloud(xyz=jnp.asarray(pts), mask=jnp.ones(200, bool)), k=12)
+        for fn in (board_lrf, flare_lrf):
+            F, ok = fn(c, radius=1.0, k=32)
+            F, ok = np.asarray(F), np.asarray(ok)
+            assert ok.sum() > 100
+            Fo = F[ok]
+            eye = np.einsum("nij,nkj->nik", Fo, Fo)
+            assert np.abs(eye - np.eye(3)).max() < 1e-3
+            # right-handed
+            det = np.linalg.det(Fo)
+            assert (det > 0.99).all()
+
+
+class TestPersistence:
+    def test_distinct_points_survive(self, rng):
+        from pcl_tpu.features import feature_persistence, estimate_fpfh
+        # plane with a sharp bump: bump points are the persistent ones
+        n = 500
+        uv = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
+        z = np.where(np.linalg.norm(uv, axis=1) < 0.2, 0.3, 0.0).astype(np.float32)
+        pts = np.concatenate([uv, z[:, None]], 1) + \
+            rng.normal(scale=0.002, size=(n, 3)).astype(np.float32)
+        c = estimate_normals(Cloud(xyz=jnp.asarray(pts), mask=jnp.ones(n, bool)),
+                             k=12, viewpoint=jnp.asarray([0.0, 0.0, 10.0]))
+        # scale = neighborhood size (k is pcl_tpu's fixed-shape analog of
+        # the reference's per-scale radius)
+        persistent, _ = feature_persistence(
+            lambda s: estimate_fpfh(c, k=int(s)),
+            scales=[12, 24], mask=c.mask, alpha=1.0)
+        persistent = np.asarray(persistent)
+        bump_ring = (np.linalg.norm(uv, axis=1) > 0.12) & (np.linalg.norm(uv, axis=1) < 0.28)
+        flat = np.linalg.norm(uv, axis=1) > 0.5
+        # persistence rate much higher near the bump edge than on the flat
+        assert persistent[bump_ring].mean() > 3 * max(persistent[flat].mean(), 0.01)
