@@ -213,7 +213,7 @@ class TestPersistence:
         # the reference's per-scale radius)
         persistent, _ = feature_persistence(
             lambda s: estimate_fpfh(c, k=int(s)),
-            scales=[12, 24], mask=c.mask, alpha=1.0)
+            scales=[20, 32], mask=c.mask, alpha=1.0)
         persistent = np.asarray(persistent)
         bump_ring = (np.linalg.norm(uv, axis=1) > 0.12) & (np.linalg.norm(uv, axis=1) < 0.28)
         flat = np.linalg.norm(uv, axis=1) > 0.5
