@@ -30,3 +30,7 @@ from pcl_tpu.features.shape_context import estimate_3dsc, estimate_usc
 from pcl_tpu.features.rops import estimate_rops
 from pcl_tpu.features.lrf import board_lrf, flare_lrf
 from pcl_tpu.features.persistence import feature_persistence
+from pcl_tpu.features.narf import (
+    extract_borders, narf_interest_image, narf_keypoints, narf_descriptors,
+    BorderDescription, BORDER_NONE, BORDER_OBSTACLE, BORDER_SHADOW,
+)
