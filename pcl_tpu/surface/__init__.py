@@ -1,6 +1,8 @@
 """Surface processing — TPU-native equivalents of the reference ``surface/``
 module (SURVEY §2.9): MLS smoothing/projection as batched weighted
-polynomial fits.
+polynomial fits, implicit reconstructions (Hoppe marching / spectral
+Poisson), greedy-projection triangulation, ear clipping, grid projection,
+surfel smoothing, bilateral upsampling, texture mapping, hulls.
 """
 
 from pcl_tpu.surface.mls import moving_least_squares
@@ -11,3 +13,15 @@ from pcl_tpu.surface.reconstruction import (
     organized_fast_mesh,
 )
 from pcl_tpu.surface.hulls import convex_hull, concave_hull
+from pcl_tpu.surface.poisson import poisson_reconstruction
+from pcl_tpu.surface.triangulation import (
+    greedy_projection_triangulation,
+    ear_clipping,
+    triangulate_mesh_polygons,
+)
+from pcl_tpu.surface.processing import (
+    grid_projection,
+    surfel_smoothing,
+    bilateral_upsampling,
+    texture_mapping,
+)

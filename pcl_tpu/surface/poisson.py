@@ -1,0 +1,145 @@
+"""Poisson surface reconstruction — spectral solve on a dense grid.
+
+Capability match for pcl::Poisson (reference: surface/include/pcl/surface/
+poisson.h:61, vendored kazhdan octree solver under surface/src/3rdparty/
+poisson4). The reference solves the screened Poisson equation on an
+adaptive octree with a multigrid cascade — pointer-chasing that maps poorly
+to TPU. The TPU re-design keeps the mathematics (indicator function chi with
+grad(chi) ~ the oriented-normal field V, solved from div V = laplacian chi)
+but discretizes on a DENSE [R,R,R] grid and solves the Poisson equation in
+closed form in Fourier space:
+
+  1. trilinear splat of each point's unit normal into a staggered vector
+     field V (scatter-add — one segment_sum per corner, all points batched);
+  2. divergence by central differences;
+  3. chi = IFFT( FFT(div) / eigenvalues(laplacian) ) — the FFT pair runs on
+     the MXU-fed transpose kernels XLA emits for fft;
+  4. iso level = masked mean of chi sampled at the input points (same
+     choice as the reference's GetIsoValue), meshed by surface nets.
+
+depth=d mirrors the reference's octree depth: R = 2^d.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcl_tpu.core.cloud import Cloud, ATTR_NORMAL
+from pcl_tpu.surface.reconstruction import surface_nets
+
+
+@partial(jax.jit, static_argnames=("resolution",))
+def _indicator_grid(
+    xyz: jax.Array,
+    mask: jax.Array,
+    normals: jax.Array,
+    grid_min: jax.Array,
+    cell: jax.Array,
+    resolution: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Solve for the indicator chi on an [R,R,R] grid; returns (chi, iso)."""
+    R = resolution
+    g = (xyz - grid_min[None, :]) / cell[None, :]
+    g = jnp.clip(g, 0.0, R - 1.001)
+    i0 = jnp.floor(g).astype(jnp.int32)
+    f = g - i0
+
+    w = jnp.where(mask, 1.0, 0.0)
+    vec = normals * w[:, None]
+
+    # trilinear splat of V into the grid (8 corners)
+    div_field = jnp.zeros((R, R, R, 3), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                wt = (
+                    (f[:, 0] if dx else 1.0 - f[:, 0])
+                    * (f[:, 1] if dy else 1.0 - f[:, 1])
+                    * (f[:, 2] if dz else 1.0 - f[:, 2])
+                )
+                ii = jnp.clip(i0 + jnp.asarray([dx, dy, dz]), 0, R - 1)
+                div_field = div_field.at[ii[:, 0], ii[:, 1], ii[:, 2]].add(
+                    vec * wt[:, None]
+                )
+
+    # divergence (central differences, cell-normalized)
+    def cdiff(a, axis):
+        return (jnp.roll(a, -1, axis) - jnp.roll(a, 1, axis)) * 0.5
+
+    div = (
+        cdiff(div_field[..., 0], 0) / cell[0]
+        + cdiff(div_field[..., 1], 1) / cell[1]
+        + cdiff(div_field[..., 2], 2) / cell[2]
+    )
+
+    # spectral Poisson solve: laplacian eigenvalues of the periodic grid
+    k = 2.0 * jnp.pi * jnp.fft.fftfreq(R)
+    ex = (2.0 * jnp.cos(k) - 2.0) / (cell[0] ** 2)
+    ey = (2.0 * jnp.cos(k) - 2.0) / (cell[1] ** 2)
+    ez = (2.0 * jnp.cos(k) - 2.0) / (cell[2] ** 2)
+    eig = ex[:, None, None] + ey[None, :, None] + ez[None, None, :]
+    eig = jnp.where(jnp.abs(eig) < 1e-12, 1.0, eig)  # zero mode -> chi mean 0
+
+    chi = jnp.real(jnp.fft.ifftn(jnp.fft.fftn(div) / eig))
+
+    # iso value: mean chi at the sample points (trilinear gather)
+    def gather(vol):
+        c000 = vol[i0[:, 0], i0[:, 1], i0[:, 2]]
+        i1 = jnp.clip(i0 + 1, 0, R - 1)
+        c100 = vol[i1[:, 0], i0[:, 1], i0[:, 2]]
+        c010 = vol[i0[:, 0], i1[:, 1], i0[:, 2]]
+        c110 = vol[i1[:, 0], i1[:, 1], i0[:, 2]]
+        c001 = vol[i0[:, 0], i0[:, 1], i1[:, 2]]
+        c101 = vol[i1[:, 0], i0[:, 1], i1[:, 2]]
+        c011 = vol[i0[:, 0], i1[:, 1], i1[:, 2]]
+        c111 = vol[i1[:, 0], i1[:, 1], i1[:, 2]]
+        fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+        c00 = c000 * (1 - fx) + c100 * fx
+        c10 = c010 * (1 - fx) + c110 * fx
+        c01 = c001 * (1 - fx) + c101 * fx
+        c11 = c011 * (1 - fx) + c111 * fx
+        c0 = c00 * (1 - fy) + c10 * fy
+        c1 = c01 * (1 - fy) + c11 * fy
+        return c0 * (1 - fz) + c1 * fz
+
+    samp = gather(chi)
+    iso = jnp.sum(jnp.where(mask, samp, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+    return chi, iso
+
+
+def poisson_reconstruction(
+    cloud: Cloud,
+    depth: int = 5,
+    scale: float = 1.15,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reconstruct a watertight mesh from an oriented cloud. ``depth`` and
+    ``scale`` mirror pcl::Poisson::setDepth/setScale (bounding-cube
+    inflation). Returns (vertices [V,3] f32, triangles [F,3] i32)."""
+    if ATTR_NORMAL not in cloud.attrs:
+        raise ValueError("poisson_reconstruction requires normals")
+    R = 1 << depth
+    xyz = np.asarray(cloud.xyz)
+    m = np.asarray(cloud.mask)
+    pts = xyz[m]
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    center = 0.5 * (lo + hi)
+    half = 0.5 * float(scale) * float((hi - lo).max() + 1e-9)
+    gmin = (center - half).astype(np.float32)
+    gmax = (center + half).astype(np.float32)
+    cellv = (gmax - gmin) / (R - 1)
+
+    chi, iso = _indicator_grid(
+        cloud.xyz,
+        cloud.mask,
+        cloud.attrs[ATTR_NORMAL],
+        jnp.asarray(gmin),
+        jnp.asarray(cellv.astype(np.float32)),
+        R,
+    )
+    field = np.asarray(chi, np.float64) - float(iso)
+    return surface_nets(field.astype(np.float32), gmin, gmax)
