@@ -12,3 +12,21 @@ from pcl_tpu.segmentation.clustering import (
 from pcl_tpu.segmentation.region_growing import region_growing
 from pcl_tpu.segmentation.sac_segmentation import sac_segmentation, segment_differences
 from pcl_tpu.segmentation.supervoxel import supervoxel_clustering, SupervoxelResult
+from pcl_tpu.segmentation.graphcut import (
+    min_cut_segmentation,
+    grab_cut,
+    max_flow_binary_labels,
+)
+from pcl_tpu.segmentation.organized import (
+    organized_connected_components,
+    organized_multi_plane_segmentation,
+    extract_polygonal_prism,
+    PlanarRegion,
+)
+from pcl_tpu.segmentation.advanced import (
+    lccp_segmentation,
+    cpc_segmentation,
+    seeded_hue_segmentation,
+    random_walker,
+    UnaryClassifier,
+)
