@@ -6,3 +6,12 @@ linear case), and kernel density/CRF-adjacent helpers.
 
 from pcl_tpu.ml.kmeans import kmeans
 from pcl_tpu.ml.svm import SVMModel, svm_train, svm_classify
+from pcl_tpu.ml.trees import (
+    Fern,
+    train_fern,
+    DecisionTree,
+    train_decision_tree,
+    RandomForest,
+    train_random_forest,
+)
+from pcl_tpu.ml.densecrf import DenseCRF
