@@ -8,3 +8,21 @@ from pcl_tpu.recognition.grouping import (
     hough3d_grouping,
 )
 from pcl_tpu.recognition.verification import greedy_hypothesis_verification
+from pcl_tpu.recognition.linemod import (
+    color_gradient_quantized,
+    surface_normal_quantized,
+    spread_quantized_map,
+    extract_template,
+    detect_templates,
+    line_rgbd_detect,
+    build_modality_maps,
+    LinemodTemplate,
+    LinemodDetection,
+)
+from pcl_tpu.recognition.ism import ISMModel, train_ism, find_objects
+from pcl_tpu.recognition.orr import (
+    trimmed_icp,
+    obj_rec_ransac,
+    distance_map,
+    TrimmedICPResult,
+)

@@ -1,0 +1,146 @@
+"""Recognition tests — LINEMOD, ISM, trimmed ICP, ObjRecRANSAC, distance map."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pcl_tpu.core.cloud import make_cloud
+from pcl_tpu import features
+from pcl_tpu.recognition import (
+    build_modality_maps,
+    spread_quantized_map,
+    extract_template,
+    detect_templates,
+    train_ism,
+    find_objects,
+    trimmed_icp,
+    obj_rec_ransac,
+    distance_map,
+)
+
+
+def _synthetic_frame(cx, cy):
+    """RGB+depth frame with a bright textured square at (cy, cx)."""
+    H, W = 64, 64
+    rgb = np.full((H, W, 3), 30.0, np.float32)
+    depth = np.full((H, W), 2.0, np.float32)
+    yy, xx = np.mgrid[0:16, 0:16]
+    patch = 100.0 + 100.0 * ((xx // 2 + yy // 2) % 2)  # checkerboard
+    rgb[cy : cy + 16, cx : cx + 16] = patch[..., None]
+    depth[cy : cy + 16, cx : cx + 16] = 1.0
+    fx = fy = 60.0
+    u = (np.arange(W) - W / 2) / fx
+    v = (np.arange(H) - H / 2) / fy
+    xyz = np.stack(
+        [u[None, :] * depth, v[:, None] * depth, depth], -1
+    ).astype(np.float32)
+    return rgb, xyz, np.ones((H, W), bool)
+
+
+class TestLinemod:
+    def test_detect_translated(self):
+        rgb, xyz, valid = _synthetic_frame(10, 12)
+        qmaps = build_modality_maps(rgb, xyz, valid)
+        tmpl = extract_template(qmaps, (12, 10, 16, 16), n_features=40)
+
+        rgb2, xyz2, valid2 = _synthetic_frame(34, 28)
+        sg = np.asarray(spread_quantized_map(jnp.asarray(
+            build_modality_maps(rgb2, xyz2, valid2)[0])))
+        sn = np.asarray(spread_quantized_map(jnp.asarray(
+            build_modality_maps(rgb2, xyz2, valid2)[1])))
+        dets = detect_templates([sg, sn], [tmpl], threshold=0.7)
+        assert dets, "no detections"
+        d = dets[0]
+        assert abs(d.y - 28) <= 4 and abs(d.x - 34) <= 4
+        assert d.score > 0.7
+
+
+class TestISM:
+    def test_center_votes(self, rng):
+        # one object class: ring of points; descriptor = local angle embedding
+        def make_object(center):
+            th = np.linspace(0, 2 * np.pi, 40, endpoint=False)
+            pts = center + np.stack(
+                [np.cos(th), np.sin(th), np.zeros_like(th)], 1
+            ).astype(np.float32)
+            desc = np.stack([np.cos(th), np.sin(th)], 1).astype(np.float32)
+            return desc, pts
+
+        d1, p1 = make_object(np.array([0.0, 0, 0], np.float32))
+        model = train_ism([d1], [p1], [np.zeros(3, np.float32)], [0],
+                          n_clusters=8, sigma=0.15)
+        # scene: same object moved
+        d2, p2 = make_object(np.array([3.0, 1.0, 0], np.float32))
+        peaks = find_objects(model, d2, p2, target_class=0)
+        assert peaks
+        center, dens = peaks[0]
+        assert np.linalg.norm(center - [3.0, 1.0, 0]) < 0.3
+
+
+class TestTrimmedICP:
+    def test_partial_overlap(self, rng):
+        tgt = rng.uniform(-1, 1, (400, 3)).astype(np.float32)
+        # source = subset + outlier block far away
+        src_in = tgt[:250] + np.float32([0.05, -0.02, 0.03])
+        out = rng.uniform(5, 6, (150, 3)).astype(np.float32)
+        src = np.concatenate([src_in, out])
+        res = trimmed_icp(
+            make_cloud(jnp.asarray(src)), make_cloud(jnp.asarray(tgt)),
+            trim_fraction=0.5, max_iterations=40,
+        )
+        T = np.asarray(res.transform)
+        np.testing.assert_allclose(
+            T[:3, 3], [-0.05, 0.02, -0.03], atol=5e-3
+        )
+        np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=5e-3)
+
+
+class TestObjRecRansac:
+    def test_recover_pose(self, rng):
+        # model: box surface points with outward normals
+        n = 300
+        pts = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        ax = rng.integers(0, 3, n)
+        sgn = rng.choice([-1.0, 1.0], n)
+        pts[np.arange(n), ax] = 0.5 * sgn
+        nrm = np.zeros((n, 3), np.float32)
+        nrm[np.arange(n), ax] = sgn
+        model = make_cloud(jnp.asarray(pts)).with_attrs(normal=jnp.asarray(nrm))
+
+        ang = 0.4
+        R = np.array(
+            [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+            np.float32,
+        )
+        t = np.float32([1.0, -0.5, 0.3])
+        spts = pts @ R.T + t
+        snrm = nrm @ R.T
+        scene = make_cloud(jnp.asarray(spts)).with_attrs(normal=jnp.asarray(snrm))
+
+        T, support = obj_rec_ransac(
+            model, scene, pair_dist=0.8, n_hypotheses=512, dist_tol=0.08,
+            inlier_dist=0.05, seed=1,
+        )
+        assert support > 0.8
+        np.testing.assert_allclose(T[:3, :3], R, atol=0.05)
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.05)
+
+
+class TestDistanceMap:
+    def test_single_point(self):
+        m = np.zeros((16, 16), bool)
+        m[8, 8] = True
+        d = np.asarray(distance_map(jnp.asarray(m)))
+        assert d[8, 8] == 0
+        np.testing.assert_allclose(d[8, 12], 4.0, atol=1e-4)
+        np.testing.assert_allclose(d[5, 4], 5.0, atol=1e-4)
+
+    def test_matches_bruteforce(self, rng):
+        m = rng.uniform(size=(20, 20)) < 0.1
+        m[0, 0] = True
+        d = np.asarray(distance_map(jnp.asarray(m)))
+        yy, xx = np.nonzero(m)
+        gy, gx = np.mgrid[0:20, 0:20]
+        brute = np.sqrt(
+            ((gy[..., None] - yy) ** 2 + (gx[..., None] - xx) ** 2).min(-1)
+        )
+        np.testing.assert_allclose(d, brute, atol=1e-3)
