@@ -7,3 +7,7 @@ from pcl_tpu.stereo.matching import (
     block_matching,
     disparity_to_cloud,
 )
+from pcl_tpu.stereo.advanced import (
+    adaptive_cost_so_matching,
+    disparity_to_dem,
+)

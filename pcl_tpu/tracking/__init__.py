@@ -8,3 +8,5 @@ from pcl_tpu.tracking.particle_filter import (
     init_tracker,
     step_tracker,
 )
+from pcl_tpu.tracking.kld import KLDState, init_kld_tracker, step_tracker_kld
+from pcl_tpu.tracking.klt import pyramidal_klt
