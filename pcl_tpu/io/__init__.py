@@ -4,6 +4,16 @@ from pcl_tpu.io import lzf
 __all__ = ["load_pcd", "save_pcd", "lzf"]
 
 
+def _load_ifs(path, **kw):
+    from pcl_tpu.io.formats_extra import load_ifs_cloud
+    return load_ifs_cloud(path)
+
+
+def _load_vtk(path, **kw):
+    from pcl_tpu.io.formats_extra import load_vtk_cloud
+    return load_vtk_cloud(path)
+
+
 def load(path, **kw):
     """Auto-dispatch by extension (reference: io/include/pcl/io/auto_io.h)."""
     p = str(path).lower()
@@ -18,6 +28,10 @@ def load(path, **kw):
     if p.endswith(".obj"):
         from pcl_tpu.io.obj import load as load_obj
         return load_obj(path, **kw)
+    if p.endswith(".ifs"):
+        return _load_ifs(path, **kw)
+    if p.endswith(".vtk"):
+        return _load_vtk(path, **kw)
     raise ValueError(f"unknown point-cloud file extension: {path}")
 
 
