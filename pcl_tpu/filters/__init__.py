@@ -18,6 +18,15 @@ from pcl_tpu.filters.morphological import (
     morphological_filter,
     progressive_morphological_filter,
 )
+from pcl_tpu.filters.convolution import (
+    convolution_3d,
+    convolution_rows,
+    convolution_cols,
+    pyramid,
+    fast_bilateral,
+    covariance_sampling,
+    sampling_surface_normal,
+)
 from pcl_tpu.filters.crop_hull import (
     crop_hull,
     conditional_removal,
@@ -52,4 +61,11 @@ __all__ = [
     "crop_hull",
     "conditional_removal",
     "median_filter",
+    "convolution_3d",
+    "convolution_rows",
+    "convolution_cols",
+    "pyramid",
+    "fast_bilateral",
+    "covariance_sampling",
+    "sampling_surface_normal",
 ]
