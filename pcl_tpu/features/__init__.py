@@ -34,3 +34,8 @@ from pcl_tpu.features.narf import (
     extract_borders, narf_interest_image, narf_keypoints, narf_descriptors,
     BorderDescription, BORDER_NONE, BORDER_OBSTACLE, BORDER_SHADOW,
 )
+from pcl_tpu.features.color_features import (
+    estimate_pfhrgb,
+    ppfrgb_features,
+    estimate_cppf,
+)

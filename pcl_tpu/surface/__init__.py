@@ -25,3 +25,11 @@ from pcl_tpu.surface.processing import (
     bilateral_upsampling,
     texture_mapping,
 )
+from pcl_tpu.surface.mls_upsampling import (
+    mls_project,
+    mls_distinct_cloud,
+    mls_upsample_local_plane,
+    mls_upsample_random_density,
+    mls_upsample_voxel_dilation,
+)
+from pcl_tpu.surface.rbf import marching_cubes_rbf
