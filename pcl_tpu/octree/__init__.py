@@ -27,3 +27,4 @@ from pcl_tpu.octree.linear import (
     box_search,
     at_depth,
 )
+from pcl_tpu.octree.ray import ray_intersected_voxels, approx_nearest_search

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from pcl_tpu.core.cloud import Cloud
-from pcl_tpu.search import bruteforce, hashgrid
+from pcl_tpu.search import bruteforce, hashgrid, organized
 from pcl_tpu.search.hashgrid import HashGrid, build as build_hashgrid
 
 __all__ = [
@@ -26,6 +26,7 @@ __all__ = [
     "hashgrid",
     "HashGrid",
     "build_hashgrid",
+    "organized",
     "knn",
     "radius_search",
     "nn1",

@@ -13,3 +13,9 @@ from pcl_tpu.visualization.export import (
     mesh_to_html,
     render_ascii,
 )
+from pcl_tpu.visualization.plotter import (
+    plot_xy_svg,
+    plot_histogram_svg,
+    histogram_visualizer_svg,
+    range_image_to_pgm,
+)

@@ -1,0 +1,119 @@
+"""Tests — organized neighbor search, octree ray traversal, approx NN,
+plotter exports."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from pcl_tpu.search import organized, bruteforce
+from pcl_tpu.octree import (
+    build as octree_build,
+    ray_intersected_voxels,
+    approx_nearest_search,
+    morton_decode,
+)
+from pcl_tpu.visualization import (
+    plot_histogram_svg,
+    plot_xy_svg,
+    range_image_to_pgm,
+)
+
+
+def _organized_frame(H=32, W=40, f=50.0):
+    z = np.full((H, W), 2.0, np.float32)
+    z += 0.1 * np.sin(np.arange(W))[None, :].astype(np.float32)
+    u = (np.arange(W) - W / 2).astype(np.float32)
+    v = (np.arange(H) - H / 2).astype(np.float32)
+    xyz = np.stack([u[None, :] * z / f, v[:, None] * z / f, z], -1)
+    return xyz.astype(np.float32), np.ones((H, W), bool)
+
+
+class TestOrganizedSearch:
+    def test_knn_matches_bruteforce(self, rng):
+        xyz, valid = _organized_frame()
+        s = organized.build(xyz, valid)
+        flat = xyz.reshape(-1, 3)
+        q = flat[rng.choice(len(flat), 25, replace=False)] + rng.normal(
+            scale=0.002, size=(25, 3)
+        ).astype(np.float32)
+        idx, d2, ok = organized.knn(s, jnp.asarray(q), k=4)
+        bidx, bd2, bok = bruteforce.knn(
+            jnp.asarray(flat), jnp.ones((len(flat),), bool), jnp.asarray(q), 4
+        )
+        # nearest neighbor must agree (window covers the projection)
+        np.testing.assert_allclose(
+            np.asarray(d2)[:, 0], np.asarray(bd2)[:, 0], atol=1e-9
+        )
+        assert (np.asarray(idx)[:, 0] == np.asarray(bidx)[:, 0]).mean() > 0.9
+
+    def test_radius_counts(self, rng):
+        xyz, valid = _organized_frame()
+        s = organized.build(xyz, valid)
+        q = xyz[16, 20][None, :]
+        flat, d2, ok, cnt = organized.radius(s, jnp.asarray(q), r=0.08, cap=32)
+        flatxyz = xyz.reshape(-1, 3)
+        brute = (np.linalg.norm(flatxyz - q, axis=1) <= 0.08).sum()
+        assert abs(int(cnt[0]) - brute) <= brute * 0.2 + 1
+
+
+class TestOctreeRay:
+    def test_ray_hits_wall(self, rng):
+        # occupied wall at x = 1: points on the yz plane
+        yz = rng.uniform(0, 1, (300, 2)).astype(np.float32)
+        pts = np.concatenate([np.full((300, 1), 1.0), yz], 1).astype(np.float32)
+        tree = octree_build(jnp.asarray(pts), jnp.ones((300,), bool), 0.1, depth=6)
+        o = jnp.asarray([[0.0, 0.5, 0.5]])
+        d = jnp.asarray([[1.0, 0.0, 0.0]])
+        keys, valid = ray_intersected_voxels(tree, o, d, max_range=3.0)
+        assert int(valid.sum()) >= 1
+        cells = np.asarray(morton_decode(keys[valid]))
+        centers = np.asarray(tree.origin) + (cells + 0.5) * 0.1
+        assert np.all(np.abs(centers[:, 0] - 1.0) < 0.15)
+
+    def test_miss(self, rng):
+        pts = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+        tree = octree_build(jnp.asarray(pts), jnp.ones((100,), bool), 0.1, depth=6)
+        o = jnp.asarray([[0.5, 0.5, 5.0]])
+        d = jnp.asarray([[0.0, 0.0, 1.0]])  # away from the cloud
+        keys, valid = ray_intersected_voxels(tree, o, d, max_range=2.0)
+        assert int(valid.sum()) == 0
+
+    def test_approx_nn(self, rng):
+        pts = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+        tree = octree_build(jnp.asarray(pts), jnp.ones((500,), bool), 0.05, depth=8)
+        xyz_sorted = jnp.asarray(pts)[tree.order]
+        q = pts[:40] + rng.normal(scale=0.005, size=(40, 3)).astype(np.float32)
+        idx, d2 = approx_nearest_search(tree, xyz_sorted, jnp.asarray(q))
+        # approx NN distance within 3x true NN distance for most queries
+        _, bd2 = bruteforce.nn1(jnp.asarray(pts), jnp.ones((500,), bool),
+                                jnp.asarray(q))
+        ratio = np.sqrt(np.asarray(d2)) / np.maximum(
+            np.sqrt(np.asarray(bd2)), 1e-9
+        )
+        assert (ratio < 3.0).mean() > 0.8
+
+
+class TestPlotter:
+    def test_histogram_svg(self, tmp_path, rng):
+        p = str(tmp_path / "h.svg")
+        plot_histogram_svg(p, rng.uniform(size=33), name="fpfh")
+        s = open(p).read()
+        assert s.startswith("<svg") and "polyline" in s and "fpfh" in s
+
+    def test_xy_svg(self, tmp_path):
+        p = str(tmp_path / "xy.svg")
+        x = np.linspace(0, 1, 20)
+        plot_xy_svg(p, [(x, np.sin(x), "sin"), (x, np.cos(x), "cos")])
+        s = open(p).read()
+        assert s.count("polyline") == 2
+
+    def test_range_pgm(self, tmp_path, rng):
+        p = str(tmp_path / "r.pgm")
+        r = rng.uniform(1, 5, (10, 12)).astype(np.float32)
+        r[0, 0] = np.inf
+        range_image_to_pgm(p, r)
+        data = open(p, "rb").read()
+        assert data.startswith(b"P5\n12 10\n255\n")
+        img = np.frombuffer(data.split(b"255\n", 1)[1], np.uint8).reshape(10, 12)
+        assert img[0, 0] == 255
