@@ -45,6 +45,10 @@ def ray_intersected_voxels(
     inside = jnp.all((cell_f >= 0) & (cell_f <= side + 1), axis=-1)
     cell = jnp.clip(cell_f.astype(jnp.int32), 0, side)
     keys = morton_encode(cell.reshape(-1, 3)).reshape(pts.shape[:2])
+    # steps outside the bbox were clipped onto a boundary cell — neutralize
+    # their keys so they neither match occupancy nor shadow the dedupe of
+    # the first genuine inside step
+    keys = jnp.where(inside, keys, -1)
     # occupancy: binary search into the sorted key array
     pos = jnp.searchsorted(tree.keys, keys.reshape(-1))
     pos = jnp.clip(pos, 0, tree.keys.shape[0] - 1)

@@ -12,6 +12,7 @@ from pcl_tpu.registration.estimation import (
 )
 from pcl_tpu.registration.icp import ICPResult, icp, align, fitness_score
 from pcl_tpu.registration.ndt import NDTResult, ndt, build_grid
+from pcl_tpu.registration.ndt2d import NDT2DResult, ndt_2d, build_grid_2d
 from pcl_tpu.registration.gicp import GICPResult, gicp, regularized_covariances
 from pcl_tpu.registration.ia import (
     IAResult, sac_ia, prerejective_ransac, feature_knn,
@@ -32,6 +33,7 @@ __all__ = [
     "point_to_plane_system",
     "ICPResult", "icp", "align", "fitness_score",
     "NDTResult", "ndt", "build_grid",
+    "NDT2DResult", "ndt_2d", "build_grid_2d",
     "GICPResult", "gicp", "regularized_covariances",
     "IAResult", "sac_ia", "prerejective_ransac", "feature_knn",
     "PoseGraphResult", "lum", "elch_distribute",

@@ -1,0 +1,220 @@
+"""2-D Normal Distributions Transform (scan matching in the plane).
+
+Capability match for pcl::NormalDistributionsTransform2D (reference:
+registration/include/pcl/registration/ndt_2d.h:60, impl/ndt_2d.hpp): estimate
+a planar rigid transform (tx, ty, theta) between two clouds whose geometry
+lives in the XY plane (LiDAR scan matching).
+
+Like the reference (and Biber & Strasser's original formulation) the target
+is modelled by FOUR overlapping normal-distribution grids, each shifted by a
+half cell in x/y, so the score field is smooth across cell boundaries
+(reference ndt_2d.hpp NDT2D::NDT2D builds 4 NDTSingleGrid instances).
+
+TPU re-design, not a port:
+- each grid is a hashed dense table built with one segment-reduction pass
+  (no per-cell std::vector);
+- the reference hand-derives the 3-vector gradient / 3x3 Hessian of the
+  Gaussian score (ndt_2d.hpp ValueAndDerivatives); here the score is a pure
+  jittable scalar function of (tx, ty, theta) and jax.grad / jax.hessian give
+  exact derivatives — the Newton system is 3x3 regardless of cloud size;
+- the Newton iteration + backtracking line search run inside one
+  lax.while_loop, fully on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pcl_tpu.core.cloud import Cloud
+
+
+def _hash2(cc: jax.Array, table_size: int) -> jax.Array:
+    """[..., 2] int32 cell coords -> hash bucket (same multiplicative scheme
+    as the 3-D cell list, two primes)."""
+    h = cc[..., 0] * jnp.int32(73856093) ^ cc[..., 1] * jnp.int32(19349663)
+    return jnp.abs(h) % jnp.int32(table_size)
+
+
+class NDT2DGrid(NamedTuple):
+    mean: jax.Array    # [4, T+1, 2]
+    icov: jax.Array    # [4, T+1, 2, 2]
+    valid: jax.Array   # [4, T+1] bool
+    shifts: jax.Array  # [4, 2] grid offsets in cells
+
+
+def _eigh22(M: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Eigendecomposition of symmetric 2x2 batch: returns (lam [. ,2] asc,
+    V [..,2,2] columns)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 1, 1]
+    tr = a + c
+    det = a * c - b * b
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+    l1 = tr / 2.0 - disc
+    l2 = tr / 2.0 + disc
+    # eigenvector for l2: (b, l2-a) unless degenerate
+    v2 = jnp.stack([b, l2 - a], -1)
+    deg = jnp.linalg.norm(v2, axis=-1) < 1e-12
+    v2 = jnp.where(deg[..., None], jnp.stack([jnp.ones_like(b), jnp.zeros_like(b)], -1), v2)
+    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-20)
+    v1 = jnp.stack([-v2[..., 1], v2[..., 0]], -1)
+    lam = jnp.stack([l1, l2], -1)
+    V = jnp.stack([v1, v2], -1)  # columns
+    return lam, V
+
+
+@partial(jax.jit, static_argnames=("table_size", "min_points"))
+def build_grid_2d(
+    xy: jax.Array,
+    mask: jax.Array,
+    grid_extent: float,
+    table_size: int = 1 << 16,
+    min_points: int = 3,
+) -> NDT2DGrid:
+    """Four half-cell-shifted 2-D Gaussian grids over the target
+    (reference ndt_2d.hpp NDT2D four-grid construction; per-cell mean/cov
+    with eigenvalue inflation as in voxel_grid_covariance.h)."""
+    res = jnp.asarray(grid_extent, jnp.float32)
+    shifts = jnp.array([[0.0, 0.0], [0.5, 0.0], [0.0, 0.5], [0.5, 0.5]], jnp.float32)
+    w = mask.astype(jnp.float32)
+    nseg = table_size + 1
+
+    def one(shift):
+        cc = jnp.floor(xy / res + shift[None, :]).astype(jnp.int32)
+        h = _hash2(cc, table_size)
+        h = jnp.where(mask, h, jnp.int32(table_size))
+        cnt = jax.ops.segment_sum(w, h, num_segments=nseg)
+        s = jax.ops.segment_sum(xy * w[:, None], h, num_segments=nseg)
+        ss = jax.ops.segment_sum(
+            jnp.einsum("ni,nj->nij", xy, xy) * w[:, None, None], h, num_segments=nseg
+        )
+        denom = jnp.maximum(cnt, 1.0)
+        mean = s / denom[:, None]
+        cov = (ss - jnp.einsum("vi,vj->vij", mean, s)) / jnp.maximum(
+            cnt - 1.0, 1.0
+        )[:, None, None]
+        lam, V = _eigh22(cov)
+        lam_max = lam[..., 1]
+        # inflation: reference ndt_2d.hpp caps the condition number at ~1e3
+        # (min_covar_eigvalue_mult equivalent 0.001)
+        lam_inf = jnp.maximum(lam, 0.001 * lam_max[..., None])
+        inv_lam = 1.0 / jnp.maximum(lam_inf, 1e-12)
+        icov = jnp.einsum("vik,vk,vjk->vij", V, inv_lam, V)
+        valid = (cnt >= float(min_points)) & (lam_max > 0)
+        return (jnp.where(valid[:, None], mean, 0.0),
+                jnp.where(valid[:, None, None], icov, 0.0), valid)
+
+    mean, icov, valid = jax.vmap(one)(shifts)
+    return NDT2DGrid(mean=mean, icov=icov, valid=valid, shifts=shifts)
+
+
+class NDT2DResult(NamedTuple):
+    transform: jax.Array   # [4,4] planar rigid transform (z identity)
+    params: jax.Array      # [3] (tx, ty, theta)
+    converged: jax.Array
+    iterations: jax.Array
+    score: jax.Array
+
+
+@partial(jax.jit, static_argnames=("grid_extent", "max_iterations", "table_size"))
+def ndt_2d(
+    source: Cloud,
+    target: Cloud,
+    grid_extent: float = 1.0,
+    init_params: Optional[jax.Array] = None,
+    *,
+    max_iterations: int = 50,
+    transformation_eps: float = 1e-5,
+    step_max: float = 0.5,
+    table_size: int = 1 << 16,
+) -> NDT2DResult:
+    """Estimate (tx, ty, theta) aligning source onto target in the XY plane.
+
+    ``grid_extent`` is the NDT cell size (reference setGridExtent /
+    setGridStep combination collapses to one cell size here: the four
+    half-shifted grids provide the smoothing the reference gets from its
+    grid pyramid).
+    """
+    xy_t = target.xyz[:, :2]
+    grid = build_grid_2d(xy_t, target.mask, grid_extent, table_size=table_size)
+    xy_s = source.xyz[:, :2]
+    sm = source.mask
+    res = jnp.asarray(grid_extent, jnp.float32)
+    p0 = (jnp.zeros((3,), jnp.float32) if init_params is None
+          else jnp.asarray(init_params, jnp.float32))
+
+    def score_fn(p):
+        """Negative summed Gaussian score over the four grids (minimize)."""
+        c, s = jnp.cos(p[2]), jnp.sin(p[2])
+        R = jnp.array([[c, -s], [s, c]])
+        q = xy_s @ R.T + p[:2][None, :]               # [N,2]
+
+        def grid_score(mean_g, icov_g, valid_g, shift):
+            cc = jnp.floor(q / res + shift[None, :]).astype(jnp.int32)
+            h = _hash2(cc, table_size)
+            mu = mean_g[h]
+            ic = icov_g[h]
+            ok = valid_g[h] & sm
+            x = q - mu
+            md = jnp.einsum("ni,nij,nj->n", x, ic, x)
+            # exp score as in the reference (ndt_2d.hpp test uses
+            # e^{-md/2}); clamp the exponent for numerical safety
+            val = jnp.exp(-0.5 * jnp.minimum(md, 50.0))
+            return jnp.sum(jnp.where(ok, val, 0.0))
+
+        total = sum(
+            grid_score(grid.mean[g], grid.icov[g], grid.valid[g], grid.shifts[g])
+            for g in range(4)
+        )
+        return -total
+
+    def newton_step(carry):
+        it, p, _dn, f_prev, done = carry
+        f0 = score_fn(p)
+        g = jax.grad(score_fn)(p)
+        H = jax.hessian(score_fn)(p)
+        lam = 1e-3 * jnp.maximum(jnp.abs(jnp.trace(H)) / 3.0, 1e-6)
+        delta = -jnp.linalg.solve(H + lam * jnp.eye(3), g)
+        descent = jnp.dot(delta, g) < 0.0
+        delta = jnp.where(descent, delta, -g)
+        dn = jnp.linalg.norm(delta)
+        delta = delta * jnp.minimum(1.0, step_max / jnp.maximum(dn, 1e-12))
+
+        def ls_cond(c):
+            alpha, f_new, tries = c
+            armijo = f_new <= f0 + 1e-4 * alpha * jnp.dot(g, delta)
+            return (~armijo) & (tries < 10)
+
+        def ls_body(c):
+            alpha, _, tries = c
+            alpha = alpha * 0.5
+            return alpha, score_fn(p + alpha * delta), tries + 1
+
+        alpha, f_new, _ = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.float32(1.0), score_fn(p + delta), jnp.int32(0))
+        )
+        improved = f_new < f0
+        step = jnp.where(improved, alpha, 0.0) * delta
+        p_new = p + step
+        done_new = (jnp.linalg.norm(step) < transformation_eps) | (~improved)
+        return it + 1, p_new, jnp.linalg.norm(step), jnp.where(improved, f_new, f0), done_new
+
+    def cond(carry):
+        it, _p, _d, _f, done = carry
+        return (it < max_iterations) & (~done)
+
+    init = (jnp.int32(0), p0, jnp.float32(jnp.inf), jnp.float32(jnp.inf), False)
+    it, p, _dn, f, done = jax.lax.while_loop(cond, newton_step, init)
+
+    c, s = jnp.cos(p[2]), jnp.sin(p[2])
+    T = jnp.eye(4, dtype=jnp.float32)
+    T = T.at[0, 0].set(c).at[0, 1].set(-s).at[1, 0].set(s).at[1, 1].set(c)
+    T = T.at[0, 3].set(p[0]).at[1, 3].set(p[1])
+    n_valid = jnp.maximum(jnp.sum(sm.astype(jnp.float32)), 1.0)
+    return NDT2DResult(
+        transform=T, params=p, converged=done & jnp.isfinite(f),
+        iterations=it, score=-f / n_valid,
+    )

@@ -41,10 +41,12 @@ class TestOrganizedSearch:
         bidx, bd2, bok = bruteforce.knn(
             jnp.asarray(flat), jnp.ones((len(flat),), bool), jnp.asarray(q), 4
         )
-        # nearest neighbor must agree (window covers the projection)
-        np.testing.assert_allclose(
-            np.asarray(d2)[:, 0], np.asarray(bd2)[:, 0], atol=1e-9
-        )
+        # nearest neighbor must agree (window covers the projection).
+        # Backends use different distance formulas (organized: direct diff;
+        # bruteforce: q2+t2-2qt expansion for the MXU), so recompute both
+        # picks exactly and compare those.
+        exact = lambda ii: ((q - flat[np.asarray(ii)[:, 0]]) ** 2).sum(-1)
+        np.testing.assert_allclose(exact(idx), exact(bidx), atol=2e-6)
         assert (np.asarray(idx)[:, 0] == np.asarray(bidx)[:, 0]).mean() > 0.9
 
     def test_radius_counts(self, rng):
@@ -63,7 +65,9 @@ class TestOctreeRay:
         yz = rng.uniform(0, 1, (300, 2)).astype(np.float32)
         pts = np.concatenate([np.full((300, 1), 1.0), yz], 1).astype(np.float32)
         tree = octree_build(jnp.asarray(pts), jnp.ones((300,), bool), 0.1, depth=6)
-        o = jnp.asarray([[0.0, 0.5, 0.5]])
+        # aim at an actual wall point so the crossed voxel is occupied
+        # regardless of the seed's occupancy pattern
+        o = jnp.asarray([[0.0, float(pts[0, 1]), float(pts[0, 2])]])
         d = jnp.asarray([[1.0, 0.0, 0.0]])
         keys, valid = ray_intersected_voxels(tree, o, d, max_range=3.0)
         assert int(valid.sum()) >= 1
