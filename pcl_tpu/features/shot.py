@@ -101,3 +101,86 @@ def estimate_shot(
     norm = jnp.maximum(jnp.linalg.norm(hist, axis=-1, keepdims=True), _EPS)
     out = hist / norm
     return jnp.where((mask & ok)[:, None], out, 0.0)
+
+
+def _rgb_to_lab(rgb: jax.Array) -> jax.Array:
+    """sRGB in [0,1] -> CIELab (D65), vectorized (the conversion
+    SHOTColorEstimation uses, impl/shot.hpp RGB2CIELAB)."""
+    c = jnp.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+    M = jnp.array([[0.412453, 0.357580, 0.180423],
+                   [0.212671, 0.715160, 0.072169],
+                   [0.019334, 0.119193, 0.950227]], jnp.float32)
+    xyz = c @ M.T
+    white = jnp.array([0.95047, 1.0, 1.08883], jnp.float32)
+    t = xyz / white
+    f = jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+    L = 116.0 * f[..., 1] - 16.0
+    a = 500.0 * (f[..., 0] - f[..., 1])
+    b = 200.0 * (f[..., 1] - f[..., 2])
+    return jnp.stack([L, a, b], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("k", "n_cos_bins", "n_color_bins"))
+def estimate_shot_color(
+    cloud: Cloud,
+    radius: float,
+    k: int = 64,
+    n_cos_bins: int = 11,
+    n_color_bins: int = 31,
+) -> jax.Array:
+    """SHOT color descriptors [capacity, 1344] (SHOT1344 layout,
+    common/include/pcl/impl/point_types.hpp:1986 / SHOTColorEstimation at
+    features/include/pcl/features/shot.h): the 352-bin shape signature
+    concatenated with 32 sectors x 31 bins of CIELab L1 color distance
+    between the query and each neighbor. Requires normals + rgb."""
+    from pcl_tpu.core.cloud import ATTR_RGB
+
+    if ATTR_NORMAL not in cloud.attrs or ATTR_RGB not in cloud.attrs:
+        raise ValueError("estimate_shot_color requires normals and rgb")
+    xyz, mask = cloud.xyz, cloud.mask
+    normals = cloud.attrs[ATTR_NORMAL]
+    lab = _rgb_to_lab(cloud.attrs[ATTR_RGB])
+    n = cloud.capacity
+    idx, d2, valid, _count = bruteforce.radius(xyz, mask, xyz, radius, cap=k)
+    idxc = jnp.clip(idx, 0, n - 1)
+    valid = valid & mask[:, None] & (d2 > 0)
+    nbr = xyz[idxc]
+    nbr_n = normals[idxc]
+    nbr_lab = lab[idxc]
+
+    frames, ok = local_reference_frames(xyz, nbr, valid, radius)
+    rel = nbr - xyz[:, None, :]
+    local = jnp.einsum("nai,nki->nka", frames, rel)
+    dist = jnp.linalg.norm(rel, axis=-1)
+    az = jnp.arctan2(local[..., 1], local[..., 0])
+    az_bin = jnp.clip(jnp.floor((az + jnp.pi) / (2 * jnp.pi) * 8), 0, 7).astype(jnp.int32)
+    el_bin = (local[..., 2] > 0).astype(jnp.int32)
+    r_bin = (dist > radius * 0.5).astype(jnp.int32)
+    sector = (az_bin * 2 + el_bin) * 2 + r_bin
+    w = valid.astype(jnp.float32)
+
+    # shape part (352)
+    cosang = jnp.einsum("ni,nki->nk", frames[:, 2, :], nbr_n)
+    cos_bin = jnp.clip(
+        jnp.floor((cosang + 1.0) * 0.5 * n_cos_bins), 0, n_cos_bins - 1
+    ).astype(jnp.int32)
+    shape_hist = jnp.einsum(
+        "nk,nkb->nb", w,
+        jax.nn.one_hot(sector * n_cos_bins + cos_bin, 32 * n_cos_bins,
+                       dtype=jnp.float32))
+
+    # color part (32 x 31 = 992): normalized L1 Lab distance
+    # (impl/shot.hpp: sum |Lab_q - Lab_n| / 3, range scaled into [0,1])
+    ldist = jnp.sum(jnp.abs(nbr_lab - lab[:, None, :]), axis=-1) / (3.0 * 120.0)
+    col_bin = jnp.clip(
+        jnp.floor(ldist * n_color_bins), 0, n_color_bins - 1
+    ).astype(jnp.int32)
+    color_hist = jnp.einsum(
+        "nk,nkb->nb", w,
+        jax.nn.one_hot(sector * n_color_bins + col_bin, 32 * n_color_bins,
+                       dtype=jnp.float32))
+
+    out = jnp.concatenate([shape_hist, color_hist], axis=-1)
+    norm = jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), _EPS)
+    out = out / norm
+    return jnp.where((mask & ok)[:, None], out, 0.0)

@@ -119,3 +119,32 @@ class TestFPFH:
         hp = np.asarray(features.estimate_pfh(self._with_normals(pts_p, k=8), k=8)).mean(0)
         hs = np.asarray(features.estimate_pfh(self._with_normals(sph, k=8), k=8)).mean(0)
         assert np.abs(hp - hs).sum() > 20.0
+
+
+def test_shot_color_shape_and_invariance(rng):
+    """SHOT1344: shape + CIELab color histograms, rigid-motion invariant."""
+    import jax.numpy as jnp
+    from pcl_tpu.core.cloud import Cloud, ATTR_NORMAL, ATTR_RGB
+    from pcl_tpu.features import estimate_normals, estimate_shot_color
+
+    xyz = rng.uniform(-0.5, 0.5, size=(300, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 1, size=(300, 3)).astype(np.float32)
+    c = Cloud(xyz=jnp.asarray(xyz), mask=jnp.ones((300,), bool))
+    c = estimate_normals(c, k=12).with_attrs(rgb=jnp.asarray(rgb))
+    d = estimate_shot_color(c, radius=0.3, k=32)
+    assert d.shape == (300, 1344)
+    norms = np.linalg.norm(np.asarray(d), axis=1)
+    ok = norms > 0
+    assert ok.mean() > 0.9
+    np.testing.assert_allclose(norms[ok], 1.0, atol=1e-5)
+
+    # rigid motion: rotate cloud, descriptors stay close
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    c2 = Cloud(xyz=jnp.asarray(xyz @ R.T), mask=jnp.ones((300,), bool))
+    c2 = estimate_normals(c2, k=12).with_attrs(rgb=jnp.asarray(rgb))
+    d2 = estimate_shot_color(c2, radius=0.3, k=32)
+    both = ok & (np.linalg.norm(np.asarray(d2), axis=1) > 0)
+    cs = np.einsum("nd,nd->n", np.asarray(d)[both], np.asarray(d2)[both])
+    assert np.median(cs) > 0.8
