@@ -169,9 +169,13 @@ def estimate_shot_color(
         jax.nn.one_hot(sector * n_cos_bins + cos_bin, 32 * n_cos_bins,
                        dtype=jnp.float32))
 
-    # color part (32 x 31 = 992): normalized L1 Lab distance
-    # (impl/shot.hpp: sum |Lab_q - Lab_n| / 3, range scaled into [0,1])
-    ldist = jnp.sum(jnp.abs(nbr_lab - lab[:, None, :]), axis=-1) / (3.0 * 120.0)
+    # color part (32 x 31 = 992): normalized L1 CIELab distance
+    # (reference impl/shot.hpp: (|dL|/100 + (|da|/120 + |db|/120)/2) / 3,
+    # clamped to [0,1] — L spans [0,100], a/b roughly [-120,120])
+    dl = jnp.abs(nbr_lab[..., 0] - lab[:, None, 0]) / 100.0
+    da = jnp.abs(nbr_lab[..., 1] - lab[:, None, 1]) / 120.0
+    db = jnp.abs(nbr_lab[..., 2] - lab[:, None, 2]) / 120.0
+    ldist = jnp.clip((dl + (da + db) * 0.5) / 3.0, 0.0, 1.0)
     col_bin = jnp.clip(
         jnp.floor(ldist * n_color_bins), 0, n_color_bins - 1
     ).astype(jnp.int32)

@@ -15,4 +15,5 @@ from pcl_tpu.fusion.tsdf import (
     depth_to_vertex_map,
     vertex_map_normals,
 )
-from pcl_tpu.fusion.kinfu import KinfuState, kinfu_init, kinfu_step
+from pcl_tpu.fusion.kinfu import KinfuState, kinfu_init, kinfu_step, kinfu_reset
+from pcl_tpu.fusion.world_model import WorldModel, save_tsdf, load_tsdf

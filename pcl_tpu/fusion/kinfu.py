@@ -3,14 +3,23 @@
 Re-design of pcl::gpu::kinfuLS::KinfuTracker::operator() (reference:
 gpu/kinfu_large_scale/src/kinfu.cpp:563-690, SURVEY §3.5):
 
-  bilateral filter -> vertex/normal maps -> projective point-to-plane ICP
-  against the PREVIOUS frame's raycast -> integrate -> raycast.
+  bilateral filter -> depth pyramid -> vertex/normal maps -> COARSE-TO-FINE
+  projective point-to-plane ICP against the previous frame's raycast ->
+  tracking-lost check -> integrate -> raycast.
 
-The ICP odometry is the estimate_combined.cu reduction re-expressed as a
-batched 6x6 normal-equation build (estimation.point_to_plane_system) under a
-fixed-iteration scan; the whole step is host-loop-free except the final
-state carry. The cyclical-buffer volume shifting of kinfu_large_scale is
-future work for the multi-host mesh (SURVEY §2.15 halo exchange).
+Reference parity points:
+- preprocessing is a real edge-preserving bilateral filter
+  (kinfu.cpp:327 bilateralFilter; here filters.fast_bilateral — a Gaussian
+  would smear depth edges into phantom surfaces);
+- odometry runs 3 pyramid levels with {10, 5, 4} iterations finest->coarsest
+  (kinfu.cpp:487-510 loops level LEVELS-1..0 with icp_iterations_ = {10,5,4}
+  indexed by level, kinfu.h:371) — single-level tracking loses fast motion;
+- the ICP reduction is estimate_combined.cu re-expressed as a batched 6x6
+  normal-equation build, fully on device;
+- tracking-lost detection + reset (kinfu.h:222 icpIsLost, kinfu.cpp reset
+  path): a frame whose alignment is degenerate (too few associations, wild
+  pose jump, or non-finite solve) keeps the previous pose and is NOT
+  integrated; ``state.lost`` reports it and ``kinfu_reset`` restarts.
 """
 
 from __future__ import annotations
@@ -22,11 +31,15 @@ import jax
 import jax.numpy as jnp
 
 from pcl_tpu.core.transforms import se3_exp
-from pcl_tpu.image.ops import gaussian_blur
+from pcl_tpu.filters.convolution import fast_bilateral
 from pcl_tpu.fusion.tsdf import (
     TSDFVolume, Intrinsics, integrate, raycast,
     depth_to_vertex_map, vertex_map_normals,
 )
+
+# iterations per pyramid level, index = level (0 = finest) — reference
+# kinfu.h:371 icp_iterations_{10, 5, 4}
+LEVEL_ITERS = (10, 5, 4)
 
 
 class KinfuState(NamedTuple):
@@ -36,6 +49,7 @@ class KinfuState(NamedTuple):
     prev_normals: jax.Array  # [H,W,3]
     prev_hit: jax.Array      # [H,W]
     frame: jax.Array         # int32
+    lost: jax.Array          # bool: last frame failed tracking
 
 
 def kinfu_init(volume: TSDFVolume, height: int, width: int,
@@ -50,14 +64,43 @@ def kinfu_init(volume: TSDFVolume, height: int, width: int,
         prev_normals=z3,
         prev_hit=jnp.zeros((height, width), bool),
         frame=jnp.int32(0),
+        lost=jnp.bool_(False),
     )
+
+
+def kinfu_reset(state: KinfuState, volume: TSDFVolume,
+                init_pose: Optional[jax.Array] = None) -> KinfuState:
+    """Restart tracking after a lost frame (reference KinfuTracker::reset)."""
+    H, W = state.prev_hit.shape
+    return kinfu_init(volume, H, W, init_pose)
+
+
+def _pyr_down_depth(d: jax.Array, sigma_depth: float = 0.1) -> jax.Array:
+    """Validity- and discontinuity-aware 2x downsample (reference
+    device pyrDown kernel: neighbors differing from the center by more than
+    3 sigma_color are excluded from the average)."""
+    H, W = d.shape
+    b = d[: H - H % 2, : W - W % 2].reshape(H // 2, 2, W // 2, 2)
+    v = b > 0
+    # block reference depth: min of the valid entries (robust to fg/bg mix)
+    ref = jnp.min(jnp.where(v, b, jnp.inf), axis=(1, 3))
+    keep = v & (jnp.abs(b - ref[:, None, :, None]) < sigma_depth)
+    s = jnp.sum(jnp.where(keep, b, 0.0), axis=(1, 3))
+    c = jnp.sum(keep.astype(jnp.float32), axis=(1, 3))
+    return jnp.where(c > 0, s / jnp.maximum(c, 1.0), 0.0)
+
+
+def _scale_intrinsics(intr: Intrinsics, level: int) -> Intrinsics:
+    s = 0.5 ** level
+    return Intrinsics(intr.fx * s, intr.fy * s,
+                      (intr.cx + 0.5) * s - 0.5, (intr.cy + 0.5) * s - 0.5)
 
 
 def _projective_icp(
     verts_cam: jax.Array,     # [H,W,3] current frame, camera coords
     valid_cur: jax.Array,     # [H,W]
     prev_verts: jax.Array,    # [H,W,3] world
-    prev_normals: jax.Array,  # [H,W,3] world
+    prev_normals: jax.Array,  # [H,W,3]
     prev_hit: jax.Array,      # [H,W]
     pose0: jax.Array,         # [4,4] initial camera-to-world
     intr: Intrinsics,
@@ -65,13 +108,15 @@ def _projective_icp(
     n_iters: int,
     dist_thresh: float,
     angle_thresh: float,
-) -> jax.Array:
+) -> Tuple[jax.Array, jax.Array]:
     """Point-to-plane alignment of the current depth against the previous
-    raycast via projective data association (estimate_combined.cu)."""
+    raycast via projective data association (estimate_combined.cu:210-316).
+    Returns (pose, n_ok at the last iteration)."""
     H, W, _ = verts_cam.shape
     w2c_prev = jnp.linalg.inv(prev_pose)
 
-    def gn_iter(pose, _):
+    def gn_iter(carry, _):
+        pose, _n = carry
         pw = verts_cam @ pose[:3, :3].T + pose[:3, 3]      # [H,W,3] world
         # project into the PREVIOUS camera to find the associated pixel
         pc = pw @ w2c_prev[:3, :3].T + w2c_prev[:3, 3]
@@ -99,43 +144,91 @@ def _projective_icp(
         Hm = JtJ + 1e-6 * jnp.trace(JtJ) / 6.0 * jnp.eye(6)
         xi = jnp.linalg.solve(Hm, -Jtr)
         n_ok = jnp.sum(w)
-        xi = jnp.where(n_ok >= 6, xi, jnp.zeros(6))
-        return se3_exp(xi) @ pose, None
+        xi = jnp.where((n_ok >= 6) & jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
+        return (se3_exp(xi) @ pose, n_ok), None
 
-    pose, _ = jax.lax.scan(gn_iter, pose0, None, length=n_iters)
-    return pose
+    (pose, n_ok), _ = jax.lax.scan(gn_iter, (pose0, jnp.float32(0.0)), None,
+                                   length=n_iters)
+    return pose, n_ok
 
 
-@partial(jax.jit, static_argnames=("icp_iters", "blur"))
+def _rotation_angle(R: jax.Array) -> jax.Array:
+    c = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    return jnp.arccos(c)
+
+
+@partial(jax.jit, static_argnames=("levels", "bilateral",
+                                   "max_step_trans", "max_step_rot",
+                                   "min_corr_frac"))
 def kinfu_step(
     state: KinfuState,
     depth: jax.Array,          # [H,W] meters; <=0 invalid
     intr: Intrinsics,
     *,
-    icp_iters: int = 10,
+    levels: int = 3,
     dist_thresh: float = 0.1,
     angle_thresh: float = jnp.pi / 6,
-    blur: bool = True,
+    bilateral: bool = True,
+    max_step_trans: float = 0.3,
+    max_step_rot: float = 0.6,
+    min_corr_frac: float = 0.05,
 ) -> KinfuState:
-    """One fused-tracking step (kinfu.cpp frame loop)."""
+    """One fused-tracking step (kinfu.cpp:563 frame loop): bilateral,
+    pyramid coarse-to-fine ICP, lost check, integrate, raycast."""
     H, W = depth.shape
     d = jnp.where(depth > 0, depth, 0.0)
-    if blur:
-        ds = gaussian_blur(d, 5, 1.0)
+    if bilateral:
+        ds = fast_bilateral(d)
         d = jnp.where(depth > 0, ds, 0.0)
-    valid = d > 0
-    verts_cam = depth_to_vertex_map(d, intr)
+
+    # depth + previous-map pyramids (reference pyrDown/resizeVMap,
+    # kinfu.cpp:340)
+    depths = [d]
+    pverts = [state.prev_verts]
+    pnorms = [state.prev_normals]
+    phits = [state.prev_hit]
+    for _ in range(1, levels):
+        depths.append(_pyr_down_depth(depths[-1]))
+        pverts.append(pverts[-1][::2, ::2])
+        pnorms.append(pnorms[-1][::2, ::2])
+        phits.append(phits[-1][::2, ::2])
 
     first = state.frame == 0
 
-    pose_tracked = _projective_icp(
-        verts_cam, valid, state.prev_verts, state.prev_normals,
-        state.prev_hit, state.pose, intr, state.pose,
-        icp_iters, dist_thresh, angle_thresh,
-    )
-    pose = jnp.where(first, state.pose, pose_tracked)
+    # coarse -> fine (kinfu.cpp:487-510)
+    pose = state.pose
+    n_ok = jnp.float32(0.0)
+    for level in range(levels - 1, -1, -1):
+        dl = depths[level]
+        il = _scale_intrinsics(intr, level)
+        verts_cam = depth_to_vertex_map(dl, il)
+        pose, n_ok = _projective_icp(
+            verts_cam, dl > 0, pverts[level], pnorms[level], phits[level],
+            pose, il, state.pose,
+            LEVEL_ITERS[min(level, len(LEVEL_ITERS) - 1)],
+            dist_thresh, angle_thresh,
+        )
 
-    vol = integrate(state.volume, d, intr, pose)
+    # tracking-lost check (kinfu.h:222): degenerate association count,
+    # wild pose jump, or non-finite pose
+    delta = jnp.linalg.inv(state.pose) @ pose
+    trans = jnp.linalg.norm(delta[:3, 3])
+    rot = _rotation_angle(delta[:3, :3])
+    n_valid = jnp.maximum(jnp.sum((d > 0).astype(jnp.float32)), 1.0)
+    lost = (~first) & (
+        (n_ok < min_corr_frac * n_valid)
+        | (trans > max_step_trans)
+        | (rot > max_step_rot)
+        | ~jnp.all(jnp.isfinite(pose))
+    )
+    pose = jnp.where(first | lost, state.pose, pose)
+
+    # integrate + raycast only when tracking holds (a lost frame would
+    # smear bad geometry into the volume)
+    vol_new = integrate(state.volume, d, intr, pose)
+    vol = jax.tree.map(
+        lambda new, old: jnp.where(lost, old, new), vol_new, state.volume
+    )
     verts, normals, hit = raycast(vol, intr, pose, H, W)
     return KinfuState(
         volume=vol,
@@ -144,4 +237,5 @@ def kinfu_step(
         prev_normals=normals,
         prev_hit=hit,
         frame=state.frame + 1,
+        lost=lost,
     )

@@ -54,11 +54,19 @@ def _get() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         lib = None
+        # only reuse an existing .so when it is NOT older than the source —
+        # a stale prebuilt binary would silently shadow source edits
+        # (ADVICE r1).
         if os.path.exists(_LIB_PATH):
             try:
-                lib = ctypes.CDLL(_LIB_PATH)
+                fresh = os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
             except OSError:
-                lib = None
+                fresh = True
+            if fresh:
+                try:
+                    lib = ctypes.CDLL(_LIB_PATH)
+                except OSError:
+                    lib = None
         if lib is None:
             lib = _build()
         if lib is not None:

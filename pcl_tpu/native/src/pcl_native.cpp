@@ -118,26 +118,28 @@ struct KdTree {
       search_knn(far, q, k, heap);
   }
 
+  // Radius search keeping the `cap` NEAREST hits (bounded max-heap, same
+  // overflow semantics as the numpy fallback in native/__init__.py), sorted
+  // ascending. Returns the TRUE hit count (may exceed cap -> overflow
+  // detectable by the caller).
   int32_t radius(const float* q, float r2, int32_t cap, float* out_d2,
                  int32_t* out_i) const {
+    using Pair = std::pair<float, int32_t>;
+    std::priority_queue<Pair> heap;  // max-heap on dist2, size <= cap
     int32_t count = 0;
-    search_radius(0, q, r2, cap, out_d2, out_i, count);
-    // sort ascending by distance (PCL sorts radius results by default,
-    // kdtree_flann.h:259 sorted_ flag)
-    std::vector<int32_t> order(std::min(count, cap));
-    for (size_t j = 0; j < order.size(); ++j) order[j] = (int32_t)j;
-    std::sort(order.begin(), order.end(),
-              [&](int32_t a, int32_t b) { return out_d2[a] < out_d2[b]; });
-    std::vector<float> d2s(order.size());
-    std::vector<int32_t> is(order.size());
-    for (size_t j = 0; j < order.size(); ++j) { d2s[j] = out_d2[order[j]]; is[j] = out_i[order[j]]; }
-    std::memcpy(out_d2, d2s.data(), d2s.size() * sizeof(float));
-    std::memcpy(out_i, is.data(), is.size() * sizeof(int32_t));
+    search_radius(0, q, r2, cap, heap, count);
+    int32_t m = (int32_t)heap.size();
+    for (int32_t j = m - 1; j >= 0; --j) {
+      out_d2[j] = heap.top().first;
+      out_i[j] = heap.top().second;
+      heap.pop();
+    }
     return count;  // may exceed cap: caller learns overflow
   }
 
   void search_radius(int32_t nid, const float* q, float r2, int32_t cap,
-                     float* out_d2, int32_t* out_i, int32_t& count) const {
+                     std::priority_queue<std::pair<float, int32_t>>& heap,
+                     int32_t& count) const {
     const KdNode& nd = nodes[nid];
     if (nd.axis < 0) {
       for (int32_t i = nd.begin; i < nd.end; ++i) {
@@ -145,7 +147,8 @@ struct KdTree {
         float d2 = 0;
         for (int a = 0; a < 3; ++a) { float d = q[a] - t[a]; d2 += d * d; }
         if (d2 <= r2) {
-          if (count < cap) { out_d2[count] = d2; out_i[count] = idx[i]; }
+          if ((int32_t)heap.size() < cap) heap.emplace(d2, idx[i]);
+          else if (d2 < heap.top().first) { heap.pop(); heap.emplace(d2, idx[i]); }
           ++count;
         }
       }
@@ -154,8 +157,8 @@ struct KdTree {
     float diff = q[nd.axis] - nd.split;
     int32_t near = diff < 0 ? nd.left : nd.right;
     int32_t far = diff < 0 ? nd.right : nd.left;
-    search_radius(near, q, r2, cap, out_d2, out_i, count);
-    if (diff * diff <= r2) search_radius(far, q, r2, cap, out_d2, out_i, count);
+    search_radius(near, q, r2, cap, heap, count);
+    if (diff * diff <= r2) search_radius(far, q, r2, cap, heap, count);
   }
 };
 

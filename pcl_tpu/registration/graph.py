@@ -39,7 +39,70 @@ class PoseGraphResult(NamedTuple):
     residual: jax.Array     # f32 final mean squared edge residual
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+def _edge_system(P, edge_src, edge_dst, corr_src, corr_dst, corr_valid):
+    """Per-edge 6x6 blocks + gradient of the LUM objective linearized at P
+    (the batched form of reference computeEdge, impl/lum.hpp:308-443).
+    Returns (H_ii, H_jj, H_ij [E,6,6], g_i, g_j [E,6], res scalar)."""
+    I3 = jnp.eye(3, dtype=jnp.float32)
+    Ti = P[edge_src]                        # [E,4,4]
+    Tj = P[edge_dst]
+    pw = jax.vmap(transform_points)(Ti, corr_src)     # [E,C,3]
+    qw = jax.vmap(transform_points)(Tj, corr_dst)
+    w = corr_valid.astype(jnp.float32)
+    r = pw - qw                                       # [E,C,3]
+
+    # d r / d xi_i = [I | -[pw]x],  d r / d xi_j = -[I | -[qw]x]
+    # (twist = (rho, omega), left perturbation exp(xi) T)
+    Ji = jnp.concatenate(
+        [jnp.broadcast_to(I3, pw.shape[:2] + (3, 3)), -_skew(pw)], axis=-1
+    )                                                  # [E,C,3,6]
+    Jj = -jnp.concatenate(
+        [jnp.broadcast_to(I3, qw.shape[:2] + (3, 3)), -_skew(qw)], axis=-1
+    )
+    H_ii = jnp.einsum("ec,ecka,eckb->eab", w, Ji, Ji)  # [E,6,6]
+    H_jj = jnp.einsum("ec,ecka,eckb->eab", w, Jj, Jj)
+    H_ij = jnp.einsum("ec,ecka,eckb->eab", w, Ji, Jj)
+    g_i = jnp.einsum("ec,ecka,eck->ea", w, Ji, r)      # [E,6]
+    g_j = jnp.einsum("ec,ecka,eck->ea", w, Jj, r)
+    res = jnp.sum(w * jnp.sum(r * r, axis=-1)) / jnp.maximum(jnp.sum(w), 1.0)
+    return H_ii, H_jj, H_ij, g_i, g_j, res
+
+
+def _block_jacobi_cg(matvec, b, diag_blocks, iters: int):
+    """Block-Jacobi preconditioned conjugate gradients on the [V,6] normal
+    system — the scalable replacement for the dense 6Vx6V factorization
+    (the north-star 'distributed CG over ICI': the only cross-edge coupling
+    in ``matvec`` is a scatter-add, which shards over a mesh as a psum; see
+    parallel/graph_sharded.py)."""
+    Minv = jnp.linalg.inv(diag_blocks)                 # [V,6,6]
+
+    def prec(v):
+        return jnp.einsum("vab,vb->va", Minv, v)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = prec(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(i, carry):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        denom = jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        alpha = rz / denom
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _r, _p, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, p0, rz0))
+    return x
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "solver", "cg_iters"))
 def lum(
     poses: jax.Array,          # [V,4,4] initial absolute poses
     edge_src: jax.Array,       # [E] int32 vertex index i per edge
@@ -51,59 +114,68 @@ def lum(
     max_iterations: int = 5,
     convergence_threshold: float = 0.0,
     damping: float = 1e-6,
+    solver: str = "dense",
+    cg_iters: int = 48,
 ) -> PoseGraphResult:
     """Globally consistent alignment of V scans from inter-scan
     correspondences (the LUM graph problem; tools/lum.cpp pipeline).
 
     Minimizes sum_edges sum_k || T_i p_k - T_j q_k ||^2 over all poses,
     with pose 0 held fixed.
+
+    ``solver='dense'`` factorizes the 6Vx6V system (reference lum.hpp:266
+    colPivHouseholderQr — fine to ~100 keyframes); ``'cg'`` runs
+    block-Jacobi CG on edge-block matvecs, never materializing [V,V,6,6] —
+    O(E) memory, the large-V path.
     """
     V = poses.shape[0]
-    E = edge_src.shape[0]
-
-    I3 = jnp.eye(3, dtype=jnp.float32)
 
     def gn_iteration(carry):
         it, P, _res = carry
-        Ti = P[edge_src]                        # [E,4,4]
-        Tj = P[edge_dst]
-        pw = jax.vmap(transform_points)(Ti, corr_src)     # [E,C,3]
-        qw = jax.vmap(transform_points)(Tj, corr_dst)
-        w = corr_valid.astype(jnp.float32)
-        r = pw - qw                                       # [E,C,3]
+        H_ii, H_jj, H_ij, g_i, g_j, res = _edge_system(
+            P, edge_src, edge_dst, corr_src, corr_dst, corr_valid)
 
-        # d r / d xi_i = [I | -[pw]x],  d r / d xi_j = -[I | -[qw]x]
-        # (twist = (rho, omega), left perturbation exp(xi) T)
-        Ji = jnp.concatenate(
-            [jnp.broadcast_to(I3, pw.shape[:2] + (3, 3)), -_skew(pw)], axis=-1
-        )                                                  # [E,C,3,6]
-        Jj = -jnp.concatenate(
-            [jnp.broadcast_to(I3, qw.shape[:2] + (3, 3)), -_skew(qw)], axis=-1
-        )
-        H_ii = jnp.einsum("ec,ecka,eckb->eab", w, Ji, Ji)  # [E,6,6]
-        H_jj = jnp.einsum("ec,ecka,eckb->eab", w, Jj, Jj)
-        H_ij = jnp.einsum("ec,ecka,eckb->eab", w, Ji, Jj)
-        g_i = jnp.einsum("ec,ecka,eck->ea", w, Ji, r)      # [E,6]
-        g_j = jnp.einsum("ec,ecka,eck->ea", w, Jj, r)
-
-        # scatter-assemble the 6V x 6V system
-        H = jnp.zeros((V, V, 6, 6), jnp.float32)
-        H = H.at[edge_src, edge_src].add(H_ii)
-        H = H.at[edge_dst, edge_dst].add(H_jj)
-        H = H.at[edge_src, edge_dst].add(H_ij)
-        H = H.at[edge_dst, edge_src].add(jnp.swapaxes(H_ij, -1, -2))
         g = jnp.zeros((V, 6), jnp.float32)
         g = g.at[edge_src].add(g_i)
         g = g.at[edge_dst].add(g_j)
 
-        Hf = H.transpose(0, 2, 1, 3).reshape(6 * V, 6 * V)
-        gf = g.reshape(6 * V)
+        # diagonal blocks (needed by both solvers: dense gauge/damping and
+        # the CG preconditioner)
+        D = jnp.zeros((V, 6, 6), jnp.float32)
+        D = D.at[edge_src].add(H_ii)
+        D = D.at[edge_dst].add(H_jj)
+        tr = jnp.einsum("vaa->", D) / (6.0 * V)
         # gauge fix vertex 0: huge diagonal prior
-        prior = jnp.concatenate([jnp.full((6,), 1e12), jnp.zeros(6 * (V - 1))])
-        Hf = Hf + jnp.diag(prior + damping * (jnp.trace(Hf) / (6 * V) + 1.0))
-        dx = -jnp.linalg.solve(Hf, gf).reshape(V, 6)
+        prior = jnp.concatenate(
+            [jnp.full((1, 6), 1e12), jnp.zeros((V - 1, 6))], axis=0)
+        damp = damping * (tr + 1.0)
+
+        if solver == "dense":
+            H = jnp.zeros((V, V, 6, 6), jnp.float32)
+            H = H.at[edge_src, edge_src].add(H_ii)
+            H = H.at[edge_dst, edge_dst].add(H_jj)
+            H = H.at[edge_src, edge_dst].add(H_ij)
+            H = H.at[edge_dst, edge_src].add(jnp.swapaxes(H_ij, -1, -2))
+            Hf = H.transpose(0, 2, 1, 3).reshape(6 * V, 6 * V)
+            Hf = Hf + jnp.diag(prior.reshape(-1) + damp)
+            dx = -jnp.linalg.solve(Hf, g.reshape(-1)).reshape(V, 6)
+        else:
+            def matvec(x):
+                xi = x[edge_src]
+                xj = x[edge_dst]
+                yi = (jnp.einsum("eab,eb->ea", H_ii, xi)
+                      + jnp.einsum("eab,eb->ea", H_ij, xj))
+                yj = (jnp.einsum("eba,eb->ea", H_ij, xi)
+                      + jnp.einsum("eab,eb->ea", H_jj, xj))
+                y = jnp.zeros_like(x)
+                y = y.at[edge_src].add(yi)
+                y = y.at[edge_dst].add(yj)
+                return y + (prior + damp) * x
+
+            Dp = D + jax.vmap(jnp.diag)(prior + damp)
+            dx = -_block_jacobi_cg(matvec, g, Dp, cg_iters)
+
         P_new = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx, P)
-        res = jnp.sum(w * jnp.sum(r * r, axis=-1)) / jnp.maximum(jnp.sum(w), 1.0)
         return it + 1, P_new, res
 
     def cond(carry):

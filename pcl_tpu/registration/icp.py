@@ -52,6 +52,10 @@ class ICPResult(NamedTuple):
     fitness: jax.Array              # f32 mean squared correspondence distance
     num_correspondences: jax.Array  # int32 at the final iteration
     convergence_state: jax.Array    # int32, CONV_* code
+    truncated: jax.Array            # bool: any cell-list bucket overflowed at
+                                    # the final iteration — correspondences may
+                                    # be non-nearest; raise cell_cap if set.
+                                    # Always False on the brute-force backend.
 
 
 def _gather(tgt: jax.Array, idx: jax.Array) -> jax.Array:
@@ -63,6 +67,7 @@ def _gather(tgt: jax.Array, idx: jax.Array) -> jax.Array:
     static_argnames=(
         "max_corr_dist", "max_iterations", "variant", "reciprocal",
         "min_correspondences", "corr_backend", "cell_cap", "table_size",
+        "grid_dims",
     ),
 )
 def icp(
@@ -81,12 +86,19 @@ def icp(
     corr_backend: str = "auto",
     cell_cap: int = 32,
     table_size: int = 1 << 17,
+    grid_dims=None,
 ) -> ICPResult:
     """Align ``source`` onto ``target``; returns the 4x4 transform + stats.
 
     All tolerances follow the reference defaults; ``transformation_eps``
     doubles as translation(^2) and (1-cos rotation) thresholds like
     Registration::setTransformationEpsilon feeding DefaultConvergenceCriteria.
+
+    ``grid_dims`` (static (Cx,Cy,Cz)) switches the cell backend to the
+    dense collision-free grid: hash tables merge distinct cells' populations
+    birthday-style (inflating bucket overflow) and scatter neighboring cells
+    across HBM; the dense grid is exact and gathers locally. Pick dims ~
+    ceil(extent / (2*max_corr_dist)) + 1 per axis.
     """
     if init_transform is None:
         init_transform = jnp.eye(4, dtype=jnp.float32)
@@ -119,19 +131,26 @@ def icp(
         # cell = 2r enables the 8-cell gather scheme (see cell_list)
         table = cell_list.build(
             tx, tm, jnp.float32(2.0 * max_corr_dist),
-            table_size=table_size, cap=cell_cap,
+            table_size=table_size, cap=cell_cap, dims=grid_dims,
         )
-        # morton-sort the source once: spatially adjacent queries then hit
-        # nearby table rows, which materially improves the slab-gather HBM
-        # locality in every iteration (ICP permutes correspondences, the
-        # estimation reductions are permutation-invariant)
-        from pcl_tpu.octree.linear import morton_encode
-        cell0 = jnp.clip(
-            jnp.floor((sx - jnp.min(jnp.where(sm[:, None], sx, jnp.inf), axis=0))
-                      / jnp.float32(2.0 * max_corr_dist)).astype(jnp.int32),
-            0, 1023,
-        )
-        mkey = jnp.where(sm, morton_encode(cell0), jnp.int32(2**31 - 1))
+        # sort the source once so spatially adjacent queries hit nearby
+        # table rows — the slab gathers then read HBM near-sequentially
+        # every iteration (ICP permutes correspondences; the estimation
+        # reductions are permutation-invariant). Dense tables sort by the
+        # table's own row-major linear id (exactly its memory order);
+        # hash tables fall back to morton.
+        if grid_dims is not None:
+            skey = cell_list._dense_id(
+                cell_list._query_coords(table, sx), grid_dims)
+            mkey = jnp.where(sm, skey, jnp.int32(2**31 - 1))
+        else:
+            from pcl_tpu.octree.linear import morton_encode
+            cell0 = jnp.clip(
+                jnp.floor((sx - jnp.min(jnp.where(sm[:, None], sx, jnp.inf), axis=0))
+                          / jnp.float32(2.0 * max_corr_dist)).astype(jnp.int32),
+                0, 1023,
+            )
+            mkey = jnp.where(sm, morton_encode(cell0), jnp.int32(2**31 - 1))
         morder = jnp.argsort(mkey)
         sx = sx[morder]
         sm = sm[morder]
@@ -139,18 +158,22 @@ def icp(
             sn = sn[morder]
 
         def det(src_t, src_mask, _tx, _tm, max_dist):
-            idx, d2, _trunc = cell_list.nn1_radius(table, src_t, max_dist, compact=True)
+            idx, d2, trunc = cell_list.nn1_radius(table, src_t, max_dist, compact=True)
             valid = src_mask & jnp.isfinite(d2)
-            return corr_mod.Correspondences(idx, d2, valid)
+            # truncation matters only where a masked query actually looked
+            return corr_mod.Correspondences(idx, d2, valid), jnp.any(trunc & src_mask)
     else:
-        det = corr_mod.determine_reciprocal_correspondences if reciprocal \
+        _det0 = corr_mod.determine_reciprocal_correspondences if reciprocal \
             else corr_mod.determine_correspondences
+
+        def det(src_t, src_mask, _tx, _tm, max_dist):
+            return _det0(src_t, src_mask, _tx, _tm, max_dist), jnp.bool_(False)
 
     def iteration(T):
         """One ICP iteration from accumulated transform T. Returns
         (T_new, mse, n_corr)."""
         src_t = transform_points(T, sx)
-        c = det(src_t, sm, tx, tm, max_corr_dist)
+        c, trunc = det(src_t, sm, tx, tm, max_corr_dist)
         w = c.valid.astype(jnp.float32)
         n_corr = jnp.sum(c.valid.astype(jnp.int32))
         dst = _gather(tx, c.index)
@@ -170,15 +193,15 @@ def icp(
         # degenerate: too few correspondences -> freeze
         ok = n_corr >= min_correspondences
         T_delta = jnp.where(ok, T_delta, jnp.eye(4, dtype=T.dtype))
-        return T_delta @ T, T_delta, mse, n_corr, ok
+        return T_delta @ T, T_delta, mse, n_corr, ok, trunc
 
     def cond(state):
-        it, T, prev_mse, mse, n_corr, code = state
+        it, T, prev_mse, mse, n_corr, code, trunc = state
         return (it < max_iterations) & (code == CONV_RUNNING)
 
     def body(state):
-        it, T, prev_mse, mse, n_corr, code = state
-        T_new, T_delta, mse_new, n_corr_new, ok = iteration(T)
+        it, T, prev_mse, mse, n_corr, code, trunc = state
+        T_new, T_delta, mse_new, n_corr_new, ok, trunc_new = iteration(T)
         it = it + 1
         # convergence checks on the increment (reference
         # default_convergence_criteria.h:72-79)
@@ -205,7 +228,7 @@ def icp(
                 ),
             ),
         ).astype(jnp.int32)
-        return (it, T_new, mse, mse_new, n_corr_new, code)
+        return (it, T_new, mse, mse_new, n_corr_new, code, trunc_new)
 
     state0 = (
         jnp.int32(0),
@@ -214,8 +237,9 @@ def icp(
         jnp.float32(jnp.inf),
         jnp.int32(0),
         jnp.int32(CONV_RUNNING),
+        jnp.bool_(False),
     )
-    it, T, prev_mse, mse, n_corr, code = jax.lax.while_loop(cond, body, state0)
+    it, T, prev_mse, mse, n_corr, code, trunc = jax.lax.while_loop(cond, body, state0)
     converged = code > 0
     return ICPResult(
         transform=T,
@@ -224,6 +248,7 @@ def icp(
         fitness=mse,
         num_correspondences=n_corr,
         convergence_state=code,
+        truncated=trunc,
     )
 
 

@@ -44,6 +44,15 @@ class NDT2DGrid(NamedTuple):
     icov: jax.Array    # [4, T+1, 2, 2]
     valid: jax.Array   # [4, T+1] bool
     shifts: jax.Array  # [4, 2] grid offsets in cells
+    ckey: jax.Array    # [4, T+1] int32 packed cell coords of the bucket owner
+                       # (collision guard: lookups must match)
+
+
+def _pack2(cc: jax.Array) -> jax.Array:
+    """Pack [...,2] int32 cell coords into one int32 identity key (16 bits
+    per axis; distinct occupied cells landing in one hash bucket are thereby
+    detectable — ADVICE r1: collisions previously merged silently)."""
+    return ((cc[..., 0] & 0xFFFF) << 16) | (cc[..., 1] & 0xFFFF)
 
 
 def _eigh22(M: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -86,6 +95,14 @@ def build_grid_2d(
         cc = jnp.floor(xy / res + shift[None, :]).astype(jnp.int32)
         h = _hash2(cc, table_size)
         h = jnp.where(mask, h, jnp.int32(table_size))
+        pk = _pack2(cc)
+        # collision detection: if two distinct occupied cells share a bucket,
+        # their merged Gaussian is bogus — invalidate the bucket.
+        pk_min = jax.ops.segment_min(jnp.where(mask, pk, jnp.int32(2**31 - 1)),
+                                     h, num_segments=nseg)
+        pk_max = jax.ops.segment_max(jnp.where(mask, pk, jnp.int32(-2**31)),
+                                     h, num_segments=nseg)
+        no_collision = pk_min == pk_max
         cnt = jax.ops.segment_sum(w, h, num_segments=nseg)
         s = jax.ops.segment_sum(xy * w[:, None], h, num_segments=nseg)
         ss = jax.ops.segment_sum(
@@ -103,12 +120,12 @@ def build_grid_2d(
         lam_inf = jnp.maximum(lam, 0.001 * lam_max[..., None])
         inv_lam = 1.0 / jnp.maximum(lam_inf, 1e-12)
         icov = jnp.einsum("vik,vk,vjk->vij", V, inv_lam, V)
-        valid = (cnt >= float(min_points)) & (lam_max > 0)
+        valid = (cnt >= float(min_points)) & (lam_max > 0) & no_collision
         return (jnp.where(valid[:, None], mean, 0.0),
-                jnp.where(valid[:, None, None], icov, 0.0), valid)
+                jnp.where(valid[:, None, None], icov, 0.0), valid, pk_min)
 
-    mean, icov, valid = jax.vmap(one)(shifts)
-    return NDT2DGrid(mean=mean, icov=icov, valid=valid, shifts=shifts)
+    mean, icov, valid, ckey = jax.vmap(one)(shifts)
+    return NDT2DGrid(mean=mean, icov=icov, valid=valid, shifts=shifts, ckey=ckey)
 
 
 class NDT2DResult(NamedTuple):
@@ -152,12 +169,14 @@ def ndt_2d(
         R = jnp.array([[c, -s], [s, c]])
         q = xy_s @ R.T + p[:2][None, :]               # [N,2]
 
-        def grid_score(mean_g, icov_g, valid_g, shift):
+        def grid_score(mean_g, icov_g, valid_g, ckey_g, shift):
             cc = jnp.floor(q / res + shift[None, :]).astype(jnp.int32)
             h = _hash2(cc, table_size)
             mu = mean_g[h]
             ic = icov_g[h]
-            ok = valid_g[h] & sm
+            # identity check: the bucket must actually hold THIS cell's
+            # Gaussian, not a hash-colliding other cell's
+            ok = valid_g[h] & sm & (ckey_g[h] == _pack2(cc))
             x = q - mu
             md = jnp.einsum("ni,nij,nj->n", x, ic, x)
             # exp score as in the reference (ndt_2d.hpp test uses
@@ -166,13 +185,14 @@ def ndt_2d(
             return jnp.sum(jnp.where(ok, val, 0.0))
 
         total = sum(
-            grid_score(grid.mean[g], grid.icov[g], grid.valid[g], grid.shifts[g])
+            grid_score(grid.mean[g], grid.icov[g], grid.valid[g],
+                       grid.ckey[g], grid.shifts[g])
             for g in range(4)
         )
         return -total
 
     def newton_step(carry):
-        it, p, _dn, f_prev, done = carry
+        it, p, _dn, f_prev, done, _conv = carry
         f0 = score_fn(p)
         g = jax.grad(score_fn)(p)
         H = jax.hessian(score_fn)(p)
@@ -199,15 +219,24 @@ def ndt_2d(
         improved = f_new < f0
         step = jnp.where(improved, alpha, 0.0) * delta
         p_new = p + step
-        done_new = (jnp.linalg.norm(step) < transformation_eps) | (~improved)
-        return it + 1, p_new, jnp.linalg.norm(step), jnp.where(improved, f_new, f0), done_new
+        # genuine convergence = an ACCEPTED step fell below the epsilon, OR
+        # a line-search stall AT AN ACTUAL OPTIMUM (score shows overlap,
+        # f0 < 0 since f = -sum of Gaussian scores). A zero-overlap stall
+        # (f0 == 0: score, gradient identically zero) reports
+        # converged=False (ADVICE r1 — reference hasConverged semantics).
+        conv_new = (improved & (jnp.linalg.norm(step) < transformation_eps)) | (
+            (~improved) & (f0 < -1e-6))
+        done_new = conv_new | (~improved)
+        return (it + 1, p_new, jnp.linalg.norm(step),
+                jnp.where(improved, f_new, f0), done_new, conv_new)
 
     def cond(carry):
-        it, _p, _d, _f, done = carry
+        it, _p, _d, _f, done, _conv = carry
         return (it < max_iterations) & (~done)
 
-    init = (jnp.int32(0), p0, jnp.float32(jnp.inf), jnp.float32(jnp.inf), False)
-    it, p, _dn, f, done = jax.lax.while_loop(cond, newton_step, init)
+    init = (jnp.int32(0), p0, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
+            False, False)
+    it, p, _dn, f, done, conv = jax.lax.while_loop(cond, newton_step, init)
 
     c, s = jnp.cos(p[2]), jnp.sin(p[2])
     T = jnp.eye(4, dtype=jnp.float32)
@@ -215,6 +244,6 @@ def ndt_2d(
     T = T.at[0, 3].set(p[0]).at[1, 3].set(p[1])
     n_valid = jnp.maximum(jnp.sum(sm.astype(jnp.float32)), 1.0)
     return NDT2DResult(
-        transform=T, params=p, converged=done & jnp.isfinite(f),
+        transform=T, params=p, converged=conv & jnp.isfinite(f),
         iterations=it, score=-f / n_valid,
     )

@@ -100,7 +100,7 @@ def icp_nl(
               jnp.float32(jnp.inf), jnp.float32(jnp.inf),
               jnp.int32(0), jnp.int32(CONV_RUNNING))
     it, T, _, mse, n_corr, code = jax.lax.while_loop(cond, body, state0)
-    return ICPResult(T, code > 0, it, mse, n_corr, code)
+    return ICPResult(T, code > 0, it, mse, n_corr, code, jnp.bool_(False))
 
 
 def joint_icp(
@@ -177,4 +177,4 @@ def joint_icp(
         return jax.lax.while_loop(cond, body, state0)
 
     it, T, _, mse, n_corr, code = run(init_transform, *sxs, *sms, *txs, *tms)
-    return ICPResult(T, code > 0, it, mse, n_corr, code)
+    return ICPResult(T, code > 0, it, mse, n_corr, code, jnp.bool_(False))

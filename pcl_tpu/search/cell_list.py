@@ -63,14 +63,23 @@ class CellTable:
                              # original index as f32); empty slots x=_BIG
     count: jax.Array         # [table_size + 1] true per-bucket population
                              # (may exceed cap -> truncation detectable)
+    # dense addressing (dims != None): bucket = row-major linear cell id
+    # relative to ``origin``; out-of-grid cells map to the empty overflow
+    # row. Collision-FREE (a hash table merges distinct cells' populations
+    # birthday-style, inflating truncation) and HBM-LOCAL (neighboring
+    # cells occupy neighboring rows, so morton/linear-sorted queries gather
+    # nearly sequentially).
+    dims: Optional[Tuple[int, int, int]] = None   # static grid shape
+    origin: Optional[jax.Array] = None            # [3] f32 grid corner
 
     def tree_flatten(self):
-        return (self.cell_size, self.data, self.count), (self.table_size, self.cap)
+        return ((self.cell_size, self.data, self.count, self.origin),
+                (self.table_size, self.cap, self.dims))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cell_size, data, count = children
-        return cls(cell_size, aux[0], aux[1], data, count)
+        cell_size, data, count, origin = children
+        return cls(cell_size, aux[0], aux[1], data, count, aux[2], origin)
 
     # compatibility views (tests/oracles use these)
     @property
@@ -82,21 +91,65 @@ class CellTable:
         return self.data.reshape(self.table_size + 1, self.cap, 4)[..., 3].astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("table_size", "cap"))
+def _dense_id(coords: jax.Array, dims: Tuple[int, int, int]) -> jax.Array:
+    """[...,3] int32 grid-relative cell coords -> row-major linear id;
+    out-of-grid -> the overflow row (which is empty: no target lives there,
+    so queries probing outside the grid correctly find no candidates)."""
+    cx, cy, cz = dims
+    n_cells = cx * cy * cz
+    inb = ((coords[..., 0] >= 0) & (coords[..., 0] < cx)
+           & (coords[..., 1] >= 0) & (coords[..., 1] < cy)
+           & (coords[..., 2] >= 0) & (coords[..., 2] < cz))
+    lin = (coords[..., 0] * cy + coords[..., 1]) * cz + coords[..., 2]
+    return jnp.where(inb, lin, jnp.int32(n_cells))
+
+
+def _bucket_of(table: CellTable, coords: jax.Array) -> jax.Array:
+    """Cell coords -> bucket row under the table's addressing scheme.
+    For dense tables ``coords`` must already be grid-relative."""
+    if table.dims is not None:
+        return _dense_id(coords, table.dims)
+    return _hash(coords, table.table_size)
+
+
+def _query_coords(table: CellTable, pts: jax.Array) -> jax.Array:
+    """World points -> cell coords in the table's frame."""
+    if table.dims is not None:
+        return jnp.floor((pts - table.origin) / table.cell_size).astype(jnp.int32)
+    return _cell_coords(pts, table.cell_size)
+
+
+@partial(jax.jit, static_argnames=("table_size", "cap", "dims"))
 def build(
     xyz: jax.Array,
     mask: jax.Array,
     cell_size,
     table_size: int = 1 << 17,
     cap: int = 16,
+    dims: Optional[Tuple[int, int, int]] = None,
+    origin=None,
 ) -> CellTable:
     """Scatter points into the packed bucket table (one sort + one scatter).
+
+    ``dims`` switches to the dense collision-free grid: ``dims`` static cell
+    counts per axis, ``origin`` the grid corner (defaults to the masked
+    bbox min minus half a cell). table_size is then dims.prod().
 
     Note: original indices are stored as f32 — exact for clouds up to 2^24
     points."""
     n = xyz.shape[0]
     cell_size = jnp.asarray(cell_size, jnp.float32)
-    h = _hash(_cell_coords(xyz, cell_size), table_size)
+    if dims is not None:
+        if origin is None:
+            origin = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0) \
+                - 0.5 * cell_size
+        origin = jnp.asarray(origin, jnp.float32)
+        table_size = int(dims[0] * dims[1] * dims[2])
+        cc = jnp.floor((xyz - origin) / cell_size).astype(jnp.int32)
+        h = _dense_id(cc, dims)
+    else:
+        origin = None
+        h = _hash(_cell_coords(xyz, cell_size), table_size)
     h = jnp.where(mask, h, jnp.int32(table_size))          # invalid -> overflow row
     order = jnp.argsort(h)
     hs = h[order]
@@ -121,6 +174,8 @@ def build(
         cap=cap,
         data=tbl.reshape(table_size + 1, cap * 4),
         count=count,
+        dims=dims,
+        origin=origin,
     )
 
 
@@ -135,14 +190,17 @@ def _neighbor_buckets(table: CellTable, queries: jax.Array, r=None):
       floor((q - r)/cell) is needed — 3.4x fewer row gathers.
     """
     if r is None:
-        qc = _cell_coords(queries, table.cell_size)
-        return _hash(qc[:, None, :] + _OFFSETS[None, :, :], table.table_size)
-    base = jnp.floor((queries - jnp.asarray(r, jnp.float32)) / table.cell_size
-                     ).astype(jnp.int32)
+        qc = _query_coords(table, queries)
+        return _bucket_of(table, qc[:, None, :] + _OFFSETS[None, :, :])
+    base = jnp.floor(
+        (queries - jnp.asarray(r, jnp.float32)
+         - (table.origin if table.dims is not None else 0.0))
+        / table.cell_size
+    ).astype(jnp.int32)
     offs = jnp.array(
         [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.int32
     )
-    return _hash(base[:, None, :] + offs[None, :, :], table.table_size)
+    return _bucket_of(table, base[:, None, :] + offs[None, :, :])
 
 
 def _gather_rows(table: CellTable, buckets: jax.Array):
@@ -151,6 +209,51 @@ def _gather_rows(table: CellTable, buckets: jax.Array):
     rows = table.data[buckets]                            # [Q,O,cap*4] dense rows
     c = rows.reshape(Q, -1, 4)
     return c[..., :3], c[..., 3]
+
+
+def _packed_sqdist(table: CellTable, buckets: jax.Array, queries: jax.Array):
+    """Candidate squared distances WITHOUT unpacking to [...,3].
+
+    A [Q,S,3] candidate tensor tiles its last dim 3 up to 128 lanes on TPU —
+    a 42x memory blowup that made the distance math dominate the ICP
+    iteration (measured 16 of 20.6 ms at 120k). Instead the packed rows stay
+    in lane space: elementwise diff on [Q, S*4], then ONE [S*4, S] matmul on
+    the MXU sums each (x,y,z) lane triple into its slot's d^2.
+
+    Returns (d2 [Q,S], cand_idx [Q,S] f32) with S = O * cap.
+    """
+    Q, O = buckets.shape
+    cap = table.cap
+    S = O * cap
+    L = S * 4
+    rows = table.data[buckets].reshape(Q, L)              # [Q, O*cap*4]
+    # lane constants (constant-folded): coordinate lanes 4j+k, k<3
+    lane = jnp.arange(L, dtype=jnp.int32)
+    is_coord = (lane % 4 < 3).astype(jnp.float32)         # [L]
+    # query broadcast pattern: lane 4j+k holds q_k (k<3), 0 at idx lanes
+    q4 = jnp.concatenate([queries, jnp.zeros_like(queries[:, :1])], axis=1)
+    qb = jnp.tile(q4, (1, S))                             # [Q, L]
+    diff = (rows - qb) * is_coord
+    # clamp: empty slots carry x=y=z=_BIG; diff^2 would overflow to inf and
+    # poison the matmul (0 * inf = NaN). 1e15^2 * 3 = 3e30 stays finite and
+    # loses to any real candidate.
+    diff = jnp.clip(diff, -1e15, 1e15)
+    sq = diff * diff
+    # group-sum matmul: G[l, j] = 1 iff lane l belongs to slot j's coords
+    G = ((lane[:, None] // 4 == jnp.arange(S, dtype=jnp.int32)[None, :])
+         & (lane[:, None] % 4 < 3)).astype(jnp.float32)   # [L, S]
+    d2 = jnp.dot(sq, G, preferred_element_type=jnp.float32)  # [Q, S] on MXU
+    # empty slots land at ~3e30 after the clamp; restore the inf sentinel so
+    # isfinite-based validity keeps working for callers without a radius gate
+    d2 = jnp.where(d2 < 1e29, d2, jnp.inf)
+    return d2, rows
+
+
+def _slot_index(rows: jax.Array, slot: jax.Array) -> jax.Array:
+    """Original point index stored at packed lane 4*slot+3 (winners only —
+    extracting all idx lanes would re-create the bad [Q,S,4] layout)."""
+    flat = jnp.take_along_axis(rows, slot * 4 + 3, axis=1)
+    return flat.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("compact",))
@@ -171,16 +274,14 @@ def nn1_radius(
     builds its table that way.
     """
     buckets = _neighbor_buckets(table, queries, r if compact else None)
-    cand_xyz, cand_idx = _gather_rows(table, buckets)
+    d2, rows = _packed_sqdist(table, buckets, queries)    # [Q, S]
     truncated = jnp.any(table.count[buckets] > table.cap, axis=-1)
-    d = cand_xyz - queries[:, None, :]
-    d2 = jnp.sum(d * d, axis=-1)                          # [Q, O*cap]
     r2 = jnp.asarray(r, jnp.float32) ** 2
     d2 = jnp.where(d2 <= r2, d2, jnp.inf)
     best = jnp.argmin(d2, axis=-1)
     best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
-    best_idx = jnp.take_along_axis(cand_idx, best[:, None], axis=-1)[:, 0]
-    return best_idx.astype(jnp.int32), best_d2, truncated
+    best_idx = _slot_index(rows, best[:, None])[:, 0]
+    return best_idx, best_d2, truncated
 
 
 def _dedup_mask(table: CellTable, queries: jax.Array, buckets: jax.Array):
@@ -205,17 +306,15 @@ def knn_radius(
     tightens the radius). Returns (idx [Q,k], sqdist [Q,k], valid [Q,k],
     truncated [Q])."""
     buckets = _neighbor_buckets(table, queries)
-    cand_xyz, cand_idx = _gather_rows(table, buckets)
+    d2, rows = _packed_sqdist(table, buckets, queries)
     truncated = jnp.any(table.count[buckets] > table.cap, axis=-1)
-    d = cand_xyz - queries[:, None, :]
-    d2 = jnp.sum(d * d, axis=-1)
     if r is not None:
         r2 = jnp.asarray(r, jnp.float32) ** 2
         d2 = jnp.where(d2 <= r2, d2, jnp.inf)
     d2 = jnp.where(_dedup_mask(table, queries, buckets), jnp.inf, d2)
     neg, which = jax.lax.top_k(-d2, k)
     dd = -neg
-    idx = jnp.take_along_axis(cand_idx, which, axis=-1).astype(jnp.int32)
+    idx = _slot_index(rows, which)
     return idx, dd, jnp.isfinite(dd), truncated
 
 
@@ -230,9 +329,7 @@ def radius_search(
     (idx [Q,cap_out], sqdist, valid, count [Q], truncated [Q])."""
     idx, dd, valid, truncated = knn_radius(table, queries, cap_out, r)
     buckets = _neighbor_buckets(table, queries)
-    cand_xyz, _ = _gather_rows(table, buckets)
-    d = cand_xyz - queries[:, None, :]
-    d2 = jnp.sum(d * d, axis=-1)
+    d2, _rows = _packed_sqdist(table, buckets, queries)
     r2 = jnp.asarray(r, jnp.float32) ** 2
     inside = (d2 <= r2) & ~_dedup_mask(table, queries, buckets)
     count = jnp.sum(inside, axis=-1).astype(jnp.int32)

@@ -102,7 +102,7 @@ class TestKinfu:
             yw = p[1, 3] + dirs[..., 1] * base
             bump = 0.05 * np.sin(8 * xw) * np.cos(8 * yw)
             depth = (base + bump).astype(np.float32)
-            state = kinfu_step(state, jnp.asarray(depth), INTR, icp_iters=8)
+            state = kinfu_step(state, jnp.asarray(depth), INTR)
             if k > 0:
                 est = np.asarray(state.pose)
                 err = np.abs(est[:3, 3] - p[:3, 3]).max()

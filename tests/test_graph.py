@@ -103,3 +103,94 @@ class TestIncremental:
         # scan-2 points into scan-0's frame)
         est = np.asarray(inc.absolute_transform)
         np.testing.assert_allclose(est, step @ step, atol=5e-3)
+
+
+class TestLUMRealScans:
+    """North-star config 4 on real data: the tools/lum.cpp pipeline
+    (reference tools/lum.cpp:80-137) on the bun01-03 multi-scan bunny set —
+    centroid loop detection, kd-tree correspondences, lum solve, inter-scan
+    consistency must improve."""
+
+    def _load_scans(self):
+        from conftest import reference_pcd
+        from pcl_tpu.io import pcd as pcd_io
+        scans = []
+        for name in ("bun01.pcd", "bun02.pcd", "bun03.pcd"):
+            c = pcd_io.load(reference_pcd(name))
+            xyz = np.asarray(c.xyz)[np.asarray(c.mask)]
+            scans.append(xyz.astype(np.float32))
+        return scans
+
+    @staticmethod
+    def _pair_corr(a, b, max_dist):
+        """Nearest-neighbor correspondences via the native kd-tree — the
+        CorrespondenceEstimation step of lum.cpp:101-117 (one-directional,
+        distance-gated, like the reference)."""
+        from pcl_tpu import native
+        tb = native.KdTree(b)
+        d2, ib = tb.knn(a, 1)
+        sel = d2[:, 0] < max_dist ** 2
+        return a[sel], b[ib[sel, 0]]
+
+    @staticmethod
+    def _consistency(scans, poses):
+        """Mean pairwise NN distance between transformed scans."""
+        from pcl_tpu import native
+        tot, n = 0.0, 0
+        world = [s @ np.asarray(p)[:3, :3].T + np.asarray(p)[:3, 3]
+                 for s, p in zip(scans, poses)]
+        for i in range(len(world)):
+            for j in range(i + 1, len(world)):
+                d2, _ = native.KdTree(world[j]).knn(world[i], 1)
+                d = np.sqrt(d2[:, 0])
+                d = d[d < 0.05]
+                tot += d.sum()
+                n += len(d)
+        return tot / max(n, 1)
+
+    def test_lum_improves_multiscan_consistency(self, rng):
+        from pcl_tpu.registration.graph import lum, build_edges_from_correspondences
+        scans = self._load_scans()
+        V = len(scans)
+        # loop detection by centroid distance (lum.cpp:94): all pairs of
+        # the bunny views qualify
+        cents = [s.mean(0) for s in scans]
+        pairs = []
+        for i in range(V):
+            for j in range(i + 1, V):
+                assert np.linalg.norm(cents[i] - cents[j]) < 5.0
+                ps, pd = self._pair_corr(scans[i], scans[j], max_dist=0.04)
+                assert len(ps) > 50, (i, j, len(ps))
+                pairs.append((i, j, ps, pd))
+        es, ed, cs, cd, cv = build_edges_from_correspondences(pairs, 4096)
+
+        # perturb poses 1..V-1 (scans arrive roughly pre-aligned; the solver
+        # must both absorb the perturbation and tighten the original layout)
+        init = np.stack([np.eye(4, dtype=np.float32)] * V)
+        for v in range(1, V):
+            xi = (rng.normal(size=6) * np.r_[0.002, 0.002, 0.002, 0.01, 0.01, 0.01]).astype(np.float32)
+            init[v] = np.asarray(tf.se3_exp(jnp.asarray(xi))) @ init[v]
+
+        before = self._consistency(scans, init)
+        res = lum(jnp.asarray(init), es, ed, cs, cd, cv, max_iterations=10)
+        after = self._consistency(scans, np.asarray(res.poses))
+        assert float(res.residual) < before ** 2 * 10
+        assert after < before * 0.9, (before, after)
+        # and the result should also beat the unperturbed raw layout
+        raw = self._consistency(scans, np.stack([np.eye(4)] * V))
+        assert after < raw * 1.05, (raw, after)
+
+    def test_cg_matches_dense(self, rng):
+        from pcl_tpu.registration.graph import lum, build_edges_from_correspondences
+        scans = self._load_scans()
+        pairs = []
+        for i, j in [(0, 1), (1, 2), (0, 2)]:
+            ps, pd = self._pair_corr(scans[i], scans[j], max_dist=0.04)
+            pairs.append((i, j, ps, pd))
+        es, ed, cs, cd, cv = build_edges_from_correspondences(pairs, 2048)
+        init = jnp.stack([jnp.eye(4, dtype=jnp.float32)] * 3)
+        r_dense = lum(init, es, ed, cs, cd, cv, max_iterations=5)
+        r_cg = lum(init, es, ed, cs, cd, cv, max_iterations=5,
+                   solver="cg", cg_iters=64)
+        np.testing.assert_allclose(np.asarray(r_cg.poses),
+                                   np.asarray(r_dense.poses), atol=5e-4)

@@ -88,3 +88,125 @@ class TestGraftEntry:
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestShardedTSDF:
+    """Halo-exchange raycast + cyclical-buffer shift (VERDICT r1 item 2).
+
+    Reference semantics: gpu/kinfu_large_scale cyclical_buffer.h:116-234
+    (shift) and ray_caster.cu (raycast); parity oracle is the replicated
+    single-device fusion.tsdf path.
+    """
+
+    H, W = 24, 32
+
+    def _intr(self):
+        from pcl_tpu.fusion.tsdf import Intrinsics
+        return Intrinsics(fx=32.0, fy=32.0, cx=self.W / 2 - 0.5, cy=self.H / 2 - 0.5)
+
+    def _volume_with_wall(self, mesh8, z_wall=1.2, res=64):
+        """Integrate a flat wall; the volume is sliced into x-slabs so rays
+        toward image edges cross slab boundaries."""
+        from pcl_tpu.fusion.tsdf import make_volume
+        from pcl_tpu.parallel.tsdf_sharded import integrate_sharded
+        vol = make_volume(resolution=res, size=3.2,
+                          origin=jnp.asarray([-1.6, -1.6, 0.0]))
+        depth = jnp.full((self.H, self.W), z_wall, jnp.float32)
+        return integrate_sharded(mesh8, vol, depth, self._intr(), jnp.eye(4))
+
+    def test_raycast_matches_replicated(self, mesh8):
+        from pcl_tpu.fusion.tsdf import raycast
+        from pcl_tpu.parallel.tsdf_sharded import raycast_sharded
+
+        vol = self._volume_with_wall(mesh8)
+        pose = jnp.eye(4, dtype=jnp.float32)
+        kw = dict(near=0.2, far=2.5, n_steps=128)
+        v1, n1, h1 = raycast(vol, self._intr(), pose, self.H, self.W, **kw)
+        v2, n2, h2 = raycast_sharded(
+            mesh8, vol, self._intr(), pose, self.H, self.W, **kw)
+        h1 = np.asarray(h1)
+        h2 = np.asarray(h2)
+        # the sharded path must find the same hits (rays cross all 8 slabs)
+        assert (h1 == h2).mean() > 0.99
+        both = h1 & h2
+        assert both.sum() > 50
+        dv = np.linalg.norm(np.asarray(v1)[both] - np.asarray(v2)[both], axis=-1)
+        assert dv.max() < 2 * float(vol.voxel_size)
+        dn = np.abs(np.sum(np.asarray(n1)[both] * np.asarray(n2)[both], -1))
+        assert np.median(dn) > 0.95
+
+    def test_shift_and_world_model_roundtrip(self, mesh8):
+        from pcl_tpu.parallel.tsdf_sharded import shift_sharded
+        from pcl_tpu.fusion.world_model import WorldModel
+
+        vol = self._volume_with_wall(mesh8)
+        t_before = np.asarray(vol.tsdf)
+        w_before = np.asarray(vol.weight)
+        Rl = vol.resolution // 8
+
+        wm = WorldModel(float(vol.voxel_size),
+                        world_origin=np.asarray(vol.origin))
+        vol2, ev_t, ev_w, ev_origin = shift_sharded(mesh8, vol)
+
+        # evicted slab == the volume's first slab
+        np.testing.assert_allclose(np.asarray(ev_t), t_before[:Rl], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ev_w), w_before[:Rl], atol=1e-6)
+        # remaining slabs advanced by one; entering slab empty
+        np.testing.assert_allclose(np.asarray(vol2.tsdf)[:-Rl],
+                                   t_before[Rl:], atol=1e-6)
+        assert float(np.asarray(vol2.weight)[-Rl:].sum()) == 0.0
+        np.testing.assert_allclose(float(vol2.origin[0] - ev_origin[0]),
+                                   float(Rl * vol.voxel_size), rtol=1e-6)
+
+        # world model stores and returns the slab exactly
+        wm.push_slab(float(ev_origin[0]), ev_t, ev_w)
+        t_back, w_back = wm.fetch_slab(float(ev_origin[0]), ev_t.shape)
+        np.testing.assert_allclose(t_back, np.asarray(ev_t), atol=1e-6)
+        np.testing.assert_allclose(w_back, np.asarray(ev_w), atol=1e-6)
+        # unseen slab comes back empty
+        t_new, w_new = wm.fetch_slab(float(ev_origin[0]) - 99.0, ev_t.shape)
+        assert (t_new == 1.0).all() and (w_new == 0.0).all()
+
+    def test_tsdf_save_load(self, mesh8, tmp_path):
+        from pcl_tpu.fusion.world_model import save_tsdf, load_tsdf
+        vol = self._volume_with_wall(mesh8, res=32)
+        p = str(tmp_path / "vol.npz")
+        save_tsdf(p, vol)
+        vol2 = load_tsdf(p)
+        np.testing.assert_allclose(np.asarray(vol2.tsdf), np.asarray(vol.tsdf))
+        np.testing.assert_allclose(np.asarray(vol2.weight), np.asarray(vol.weight))
+        assert float(vol2.voxel_size) == float(vol.voxel_size)
+
+
+class TestShardedLUM:
+    def test_matches_single_device(self, mesh8, rng):
+        """Edges sharded over 8 devices; CG psum solve must match the
+        replicated dense LUM solve."""
+        from pcl_tpu.registration.graph import (
+            lum, build_edges_from_correspondences)
+        from pcl_tpu.parallel.graph_sharded import sharded_lum
+
+        scene = rng.normal(size=(150, 3)).astype(np.float32)
+        V = 5
+        true_poses = [np.eye(4, dtype=np.float32)]
+        for _ in range(V - 1):
+            xi = (rng.normal(size=6) * 0.2).astype(np.float32)
+            true_poses.append(true_poses[-1] @ np.asarray(tf.se3_exp(jnp.asarray(xi))))
+        scans = []
+        for v in range(V):
+            Tinv = np.linalg.inv(true_poses[v])
+            scans.append(scene @ Tinv[:3, :3].T + Tinv[:3, 3])
+        pairs = [(i, j, scans[i], scans[j])
+                 for i in range(V) for j in range(i + 1, V)]
+        es, ed, cs, cd, cv = build_edges_from_correspondences(pairs, 150)
+        init = np.stack(true_poses)
+        for v in range(1, V):
+            xi = (rng.normal(size=6) * 0.05).astype(np.float32)
+            init[v] = np.asarray(tf.se3_exp(jnp.asarray(xi))) @ init[v]
+
+        r_ref = lum(jnp.asarray(init), es, ed, cs, cd, cv, max_iterations=6)
+        r_sh = sharded_lum(mesh8, jnp.asarray(init), es, ed, cs, cd, cv,
+                           max_iterations=6, cg_iters=64)
+        np.testing.assert_allclose(np.asarray(r_sh.poses),
+                                   np.asarray(r_ref.poses), atol=2e-3)
+        assert float(r_sh.residual) < 1e-5
