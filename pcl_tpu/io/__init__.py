@@ -42,4 +42,22 @@ def save(path, cloud, **kw):
     if p.endswith(".ply"):
         from pcl_tpu.io.ply import save as save_ply
         return save_ply(path, cloud, **kw)
+    if p.endswith(".xyz") or p.endswith(".txt"):
+        from pcl_tpu.io.ascii import save as save_ascii
+        return save_ascii(path, cloud, **kw)
+    if p.endswith(".vtk"):
+        import numpy as np
+        from pcl_tpu.io.formats_extra import save_vtk
+        from pcl_tpu.core.cloud import to_numpy
+        xyz, _ = to_numpy(cloud)
+        return save_vtk(path, np.asarray(xyz), **kw)
+    if p.endswith(".ifs"):
+        import numpy as np
+        from pcl_tpu.io.formats_extra import save_ifs
+        from pcl_tpu.core.cloud import to_numpy
+        xyz, _ = to_numpy(cloud)
+        return save_ifs(path, np.asarray(xyz), **kw)
+    if p.endswith(".obj"):
+        from pcl_tpu.io.obj import save as save_obj
+        return save_obj(path, cloud, **kw)
     raise ValueError(f"unknown point-cloud file extension: {path}")
