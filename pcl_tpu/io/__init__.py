@@ -1,4 +1,5 @@
 from pcl_tpu.io.pcd import load as load_pcd, save as save_pcd
+from pcl_tpu.io.ply import load as load_ply, save as save_ply
 from pcl_tpu.io import lzf
 
 __all__ = ["load_pcd", "save_pcd", "lzf"]

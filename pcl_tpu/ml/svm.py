@@ -113,3 +113,110 @@ def svm_classify(model: SVMModel, x: jax.Array) -> jax.Array:
         jnp.sum(model.support * model.support, 1)[None, :] - 2.0 * xs @ model.support.T
     feats = jnp.exp(-model.gamma * jnp.maximum(d2, 0.0))
     return feats @ model.w + model.b
+
+
+@partial(jax.jit, static_argnames=("kernel", "iterations"))
+def svm_train_dual(
+    x: jax.Array,               # [N,D]
+    y: jax.Array,               # [N] in {-1,+1} (or {0,1})
+    mask: Optional[jax.Array] = None,
+    *,
+    kernel: str = "rbf",
+    C: float = 1.0,
+    gamma: float = 1.0,
+    iterations: int = 1200,
+) -> SVMModel:
+    """Exact dual C-SVM solver — the libsvm/SMO capability (reference:
+    ml/include/pcl/ml/svm_wrapper.h SVMTrain over bundled libsvm).
+
+    Solves the SAME box-constrained dual QP SMO solves,
+
+        max_a  1'a - 0.5 a' Q a,   Q_ij = y_i y_j K(x_i, x_j),
+        s.t.   0 <= a_i <= C,  y'a = 0,
+
+    but with a TPU-shaped algorithm: the bias is folded into the kernel
+    (K -> K + 1, the liblinear-style regularized-bias formulation), which
+    REMOVES the y'a = 0 equality constraint — the dual is then a box-only
+    QP solved by FISTA-accelerated projected gradient where every step
+    updates ALL alphas via one kernel-matrix matvec on the MXU and the
+    projection is an exact clip. SMO's two-coordinate updates are
+    inherently sequential — thousands of dependent O(N) steps — which is
+    exactly what an accelerator cannot use. The optimum satisfies the same
+    KKT conditions as libsvm's up to the (standard) regularized-bias
+    modification, and b = y'a falls out of the augmented coordinate.
+
+    Suitable for the reference's use sites (thousands of points, not
+    millions: people detection, unary classifiers). Returns an SVMModel
+    whose support set is the full training set with dual weights a*y.
+    """
+    n, d = x.shape
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+    y = jnp.where(y > 0, 1.0, -1.0)
+    wgt = mask.astype(jnp.float32)
+    mean = jnp.sum(x * wgt[:, None], axis=0) / jnp.maximum(jnp.sum(wgt), 1.0)
+    var = jnp.sum(((x - mean) ** 2) * wgt[:, None], axis=0) / jnp.maximum(jnp.sum(wgt), 1.0)
+    scale = 1.0 / jnp.sqrt(jnp.maximum(var, 1e-12))
+    xs = (x - mean) * scale
+
+    if kernel == "rbf":
+        d2 = jnp.sum(xs * xs, 1)[:, None] + jnp.sum(xs * xs, 1)[None, :] \
+            - 2.0 * xs @ xs.T
+        K = jnp.exp(-gamma * jnp.maximum(d2, 0.0))
+    elif kernel == "linear":
+        K = xs @ xs.T
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
+    # bias-augmented kernel: constant feature 1 == penalized bias; the
+    # equality constraint disappears and b = y'a below
+    Kb = K + 1.0
+    Q = (y[:, None] * y[None, :]) * Kb
+    Q = Q * wgt[:, None] * wgt[None, :]
+
+    # Lipschitz constant ||Q||_2 via a few power iterations (the row-sum
+    # bound is orders too conservative for near-low-rank linear kernels)
+    def pow_iter(v, _):
+        v = Q @ v
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-30), None
+    v0 = jnp.ones((n,), jnp.float32) / jnp.sqrt(n)
+    v, _ = jax.lax.scan(pow_iter, v0, None, length=16)
+    L = jnp.maximum(jnp.linalg.norm(Q @ v), 1e-6)
+    eta = 1.0 / L
+
+    def project(a):
+        return jnp.clip(a, 0.0, C) * wgt
+
+    # FISTA-accelerated projected gradient on the (concave) dual
+    def step(carry, _):
+        a, z, t = carry
+        g = 1.0 - Q @ z
+        a_new = project(z + eta * g)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        z_new = a_new + (t - 1.0) / t_new * (a_new - a)
+        return (a_new, z_new, t_new), None
+
+    a0 = jnp.zeros((n,), jnp.float32)
+    (a, _z, _t), _ = jax.lax.scan(
+        step, (a0, a0, jnp.float32(1.0)), None, length=iterations)
+    a = project(a)
+
+    # the augmented constant coordinate yields the bias directly
+    b = jnp.dot(y * wgt, a)
+    model = SVMModel(kernel=0, w=a * y, b=b, support=xs,
+                     gamma=jnp.float32(gamma if kernel == "rbf" else 0.0),
+                     mean=mean, scale=scale)
+    return model
+
+
+def svm_classify_dual(model: SVMModel, x: jax.Array) -> jax.Array:
+    """Decision values for a dual-trained model (kernel expansion over the
+    stored support set)."""
+    xs = (x - model.mean) * model.scale
+    if float(model.gamma) == 0.0:
+        K = xs @ model.support.T
+    else:
+        d2 = jnp.sum(xs * xs, 1)[:, None] + \
+            jnp.sum(model.support * model.support, 1)[None, :] \
+            - 2.0 * xs @ model.support.T
+        K = jnp.exp(-model.gamma * jnp.maximum(d2, 0.0))
+    return K @ model.w + model.b

@@ -50,3 +50,107 @@ def greedy_hypothesis_verification(
     _, accept_sorted = jax.lax.scan(step, jnp.zeros((S,), bool), order)
     accept = jnp.zeros((H,), bool).at[order].set(accept_sorted)
     return accept
+
+
+@partial(jax.jit, static_argnames=("max_moves",))
+def global_hypothesis_verification(
+    model_pts: jax.Array,       # [M,3] model cloud (subsampled)
+    transforms: jax.Array,      # [H,4,4] hypothesis poses
+    hypothesis_ok: jax.Array,   # [H]
+    scene_pts: jax.Array,       # [S,3]
+    scene_mask: jax.Array,      # [S]
+    inlier_threshold: float = 0.01,
+    regularizer: float = 3.0,
+    clutter_regularizer: float = 5.0,
+    clutter_radius: float = 0.03,
+    max_moves: int = 64,
+) -> jax.Array:
+    """Global-optimization hypothesis verification — the capability of
+    pcl::GlobalHypothesesVerification (reference: recognition/include/pcl/
+    recognition/hv/hv_go.h). The reference minimizes a global cost
+
+        -explained(active) + regularizer * duplicity(active)
+        + clutter_regularizer * unexplained_in_neighborhood(active)
+        + model outliers
+
+    over the {0,1}^H activation vector with a metaheuristic (mets SA /
+    tabu over single-bit moves). TPU re-design, not a port: the cost is
+    expressed through per-(hypothesis, scene-point) explanation matrices so
+    that ALL H single-bit flips are evaluated in one batched pass per move;
+    the move loop is a lax.while_loop that flips the best-improving bit
+    until no flip improves (deterministic steepest-descent over the same
+    move set; starts all-off like the reference's initial solution).
+
+    Returns [H] bool acceptance mask.
+    """
+    H = transforms.shape[0]
+    M = model_pts.shape[0]
+    S = scene_pts.shape[0]
+    pts = jax.vmap(lambda T: transform_points(T, model_pts))(transforms)
+
+    # per-hypothesis explanation of scene points: scene point s is explained
+    # by hypothesis h iff its nearest model point of h is within threshold.
+    # (The reference accumulates model->scene NN; with subsampled models the
+    # scene->model direction gives the same explained set in matrix form.)
+    flat = pts.reshape(H * M, 3)
+    fmask = jnp.ones((H * M,), bool)
+
+    # distances scene -> each hypothesis's model (batched over hypotheses)
+    def scene_to_model(h):
+        idx, d2 = bruteforce.nn1(pts[h], jnp.ones((M,), bool), scene_pts)
+        return d2                                   # [S]
+
+    d2_sm = jax.vmap(scene_to_model)(jnp.arange(H))  # [H,S]
+    thr2 = inlier_threshold ** 2
+    w_explain = jnp.where(scene_mask[None, :] & (d2_sm <= thr2),
+                          1.0 - d2_sm / thr2, 0.0)   # [H,S] weighted explanation
+    explained_h = d2_sm <= thr2                      # [H,S]
+    # clutter: scene points NEAR a hypothesis (within clutter_radius) but
+    # not explained by it (hv_go unexplained_in_neighborhood)
+    near_h = d2_sm <= clutter_radius ** 2
+    clutter_h = (near_h & ~explained_h & scene_mask[None, :]).astype(jnp.float32)
+
+    # model outliers: fraction of the hypothesis's model points with no
+    # scene support
+    midx, md2 = bruteforce.nn1(scene_pts, scene_mask, flat)
+    outlier_h = jnp.mean((md2.reshape(H, M) > thr2).astype(jnp.float32), axis=1)
+
+    big_penalty = jnp.where(hypothesis_ok, 0.0, 1e6)
+
+    def cost(active):
+        a = active.astype(jnp.float32)               # [H]
+        # times each scene point is explained by active hypotheses
+        n_exp = a @ explained_h.astype(jnp.float32)  # [S]
+        # explained value counts each point once (best explainer)
+        best_w = jnp.max(jnp.where(active[:, None], w_explain, 0.0), axis=0)
+        explained_val = jnp.sum(best_w)
+        duplicity = jnp.sum(jnp.maximum(n_exp - 1.0, 0.0))
+        clutter = a @ jnp.sum(clutter_h, axis=1)
+        outliers = a @ outlier_h * M
+        return (-explained_val + regularizer * duplicity
+                + clutter_regularizer * clutter * 0.01
+                + outliers * 0.05 + a @ big_penalty)
+
+    def flip_all(active):
+        """Cost of flipping each bit, evaluated in one vmapped pass."""
+        def flipped(h):
+            return cost(active.at[h].set(~active[h]))
+        return jax.vmap(flipped)(jnp.arange(H))
+
+    def body(state):
+        active, cur, moves, _done = state
+        cand = flip_all(active)                      # [H]
+        best = jnp.argmin(cand)
+        improve = cand[best] < cur - 1e-6
+        active = jnp.where(improve, active.at[best].set(~active[best]), active)
+        cur = jnp.where(improve, cand[best], cur)
+        return active, cur, moves + 1, ~improve
+
+    def cond(state):
+        _active, _cur, moves, done = state
+        return (moves < max_moves) & (~done)
+
+    active0 = jnp.zeros((H,), bool)
+    active, _, _, _ = jax.lax.while_loop(
+        cond, body, (active0, cost(active0), jnp.int32(0), False))
+    return active & hypothesis_ok

@@ -196,3 +196,100 @@ def _skew(v: jax.Array) -> jax.Array:
         jnp.stack([v[..., 2], z, -v[..., 0]], axis=-1),
         jnp.stack([-v[..., 1], v[..., 0], z], axis=-1),
     ], axis=-2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_corr_dist", "max_iterations", "inner_iterations", "k_covariances",
+    ),
+)
+def gicp6d(
+    source: Cloud,
+    target: Cloud,
+    init_transform: Optional[jax.Array] = None,
+    *,
+    max_corr_dist: float = jnp.inf,
+    max_iterations: int = 50,
+    inner_iterations: int = 2,
+    transformation_eps: float = 5e-4,
+    k_covariances: int = 20,
+    epsilon: float = 1e-3,
+    lab_weight: float = 0.032,
+) -> GICPResult:
+    """Color-assisted GICP (reference: registration/include/pcl/registration/
+    gicp6d.h GeneralizedIterativeClosestPoint6D): correspondences are nearest
+    neighbors in a 6-D (x, y, z, weighted CIELab) space, geometry-only
+    Mahalanobis optimization. ``lab_weight`` mirrors the reference's
+    color_weight applied to the Lab channels.
+
+    Both clouds need an 'rgb' attribute in [0,1].
+    """
+    from pcl_tpu.core.cloud import ATTR_RGB
+    from pcl_tpu.features.shot import _rgb_to_lab
+    if ATTR_RGB not in source.attrs or ATTR_RGB not in target.attrs:
+        raise ValueError("gicp6d requires 'rgb' on both clouds")
+    if init_transform is None:
+        init_transform = jnp.eye(4, dtype=jnp.float32)
+    sx, sm = source.xyz, source.mask
+    tx, tm = target.xyz, target.mask
+    s_lab = _rgb_to_lab(source.attrs[ATTR_RGB]) * lab_weight
+    t_lab = _rgb_to_lab(target.attrs[ATTR_RGB]) * lab_weight
+    Cs = regularized_covariances(sx, sm, k_covariances, epsilon)
+    Ct = regularized_covariances(tx, tm, k_covariances, epsilon)
+    # 6-D target matrix for the correspondence metric (color channels do not
+    # rotate with T, so they are appended AFTER transforming the geometry)
+    t6 = jnp.concatenate([tx, t_lab], axis=1)
+    max_d2 = jnp.float32(max_corr_dist) ** 2
+
+    def find(src_t):
+        q6 = jnp.concatenate([src_t, s_lab], axis=1)
+        idx, d2_6 = bruteforce.nn1(t6, tm, q6)
+        # gate on the GEOMETRIC distance like the reference
+        idxc = jnp.clip(idx, 0, tx.shape[0] - 1)
+        d2_geo = jnp.sum((src_t - tx[idxc]) ** 2, axis=-1)
+        return idx, jnp.where(d2_geo <= max_d2, d2_geo, jnp.inf)
+
+    def outer(carry):
+        it, T, _dn, _mse, done = carry
+        src_t = transform_points(T, sx)
+        idx, d2 = find(src_t)
+        valid = sm & jnp.isfinite(d2)
+        w = valid.astype(jnp.float32)
+        idxc = jnp.clip(idx, 0, target.capacity - 1)
+        q = tx[idxc]
+        Cq = Ct[idxc]
+        R = T[:3, :3]
+        Cs_rot = jnp.einsum("ij,njk,lk->nil", R, Cs, R)
+        M = jnp.linalg.inv(Cq + Cs_rot + 1e-9 * jnp.eye(3))
+        M = M * w[:, None, None]
+
+        def gn_step(Tl, _):
+            p = transform_points(Tl, sx)
+            r = p - q
+            Mr = jnp.einsum("nij,nj->ni", M, r)
+            g = jnp.concatenate([jnp.sum(Mr, axis=0),
+                                 jnp.sum(jnp.cross(p, Mr), axis=0)])
+            Px = _skew(p)
+            H_tt = jnp.sum(M, axis=0)
+            MPx = jnp.einsum("nij,njk->nik", M, Px)
+            H_tw = -jnp.sum(MPx, axis=0)
+            H_ww = jnp.einsum("nji,njk->ik", Px, MPx)
+            Hm = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
+            Hm = Hm + 1e-6 * jnp.trace(Hm) / 6.0 * jnp.eye(6)
+            xi = -jnp.linalg.solve(Hm, g)
+            return se3_exp(xi) @ Tl, xi
+
+        T_new, xis = jax.lax.scan(gn_step, T, None, length=inner_iterations)
+        mse = jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0)
+        delta = jnp.linalg.norm(xis[-1])
+        return it + 1, T_new, delta, mse, delta < transformation_eps
+
+    def cond(carry):
+        it, _T, _d, _m, done = carry
+        return (it < max_iterations) & (~done)
+
+    init = (jnp.int32(0), init_transform.astype(jnp.float32),
+            jnp.float32(jnp.inf), jnp.float32(jnp.inf), False)
+    it, T, dn, mse, done = jax.lax.while_loop(cond, outer, init)
+    return GICPResult(transform=T, converged=done, iterations=it, fitness=mse)

