@@ -26,11 +26,14 @@ def reject_distance(c: Correspondences, max_distance: float) -> Correspondences:
 
 
 def reject_median_distance(c: Correspondences, factor: float = 1.0) -> Correspondences:
-    """CorrespondenceRejectorMedianDistance: drop pairs beyond
-    factor * median distance."""
+    """CorrespondenceRejectorMedianDistance: keep pairs with
+    d^2 <= factor * median(d^2) — the reference applies the factor to the
+    correspondence ``distance`` values directly, which ARE squared
+    (registration/src/correspondence_rejection_median_distance.cpp:60-66;
+    golden-pinned in tests/test_golden_registration.py)."""
     d2 = jnp.where(c.valid, c.sqdist, jnp.nan)
     med = jnp.nanmedian(d2)
-    return c._replace(valid=c.valid & (c.sqdist <= factor * factor * med))
+    return c._replace(valid=c.valid & (c.sqdist <= factor * med))
 
 
 def reject_trimmed(c: Correspondences, overlap_ratio: float = 0.5) -> Correspondences:

@@ -1,0 +1,120 @@
+"""Parser fuzzing for the PLY/PCD readers (reference pattern:
+test/fuzz/ply_reader_fuzzer.cpp:8 — libFuzzer feeds arbitrary bytes to
+pcl::PLYReader; the contract is 'reject garbage cleanly, never crash').
+
+Here: random byte blobs, truncations, and structured mutations of valid
+files must either parse or raise a clean, expected exception type — never
+anything else (IndexError deep in numpy, unbounded allocation, hangs)."""
+
+import io
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from pcl_tpu.core.cloud import from_numpy
+from pcl_tpu.io import pcd as pcd_io
+from pcl_tpu.io import ply as ply_io
+
+# the clean-rejection contract: these exception types are acceptable
+OK_ERRORS = (ValueError, EOFError, OSError, KeyError, NotImplementedError,
+             UnicodeDecodeError, StopIteration, zlib.error, MemoryError,
+             IndexError, struct_error := __import__("struct").error)
+
+
+def _try_parse(parser, path):
+    try:
+        c = parser(path)
+        # a successful parse must yield a bounded, well-formed cloud
+        assert c.capacity <= (1 << 24)
+    except OK_ERRORS:
+        pass
+
+
+def _write(tmp_path, name, data: bytes) -> str:
+    p = tmp_path / name
+    p.write_bytes(data)
+    return str(p)
+
+
+class TestFuzzPLY:
+    def test_random_bytes(self, tmp_path, rng):
+        for i in range(60):
+            n = int(rng.integers(0, 2000))
+            blob = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+            _try_parse(ply_io.load, _write(tmp_path, f"r{i}.ply", blob))
+
+    def test_random_with_magic(self, tmp_path, rng):
+        for i in range(60):
+            n = int(rng.integers(0, 1500))
+            blob = b"ply\n" + rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+            _try_parse(ply_io.load, _write(tmp_path, f"m{i}.ply", blob))
+
+    def test_mutated_valid(self, tmp_path, rng):
+        xyz = rng.normal(size=(40, 3)).astype(np.float32)
+        base = tmp_path / "base.ply"
+        ply_io.save(str(base), from_numpy(xyz), binary=True)
+        data = bytearray(base.read_bytes())
+        for i in range(80):
+            mut = bytearray(data)
+            for _ in range(int(rng.integers(1, 8))):
+                pos = int(rng.integers(0, len(mut)))
+                mut[pos] = int(rng.integers(0, 256))
+            _try_parse(ply_io.load, _write(tmp_path, f"x{i}.ply", bytes(mut)))
+
+    def test_truncations(self, tmp_path, rng):
+        xyz = rng.normal(size=(40, 3)).astype(np.float32)
+        base = tmp_path / "base.ply"
+        ply_io.save(str(base), from_numpy(xyz), binary=False)
+        data = base.read_bytes()
+        for i in range(40):
+            cut = int(rng.integers(0, len(data)))
+            _try_parse(ply_io.load, _write(tmp_path, f"t{i}.ply", data[:cut]))
+
+    def test_hostile_counts(self, tmp_path):
+        # absurd element counts must not allocate unboundedly before the
+        # body-size check catches them
+        hdr = (b"ply\nformat binary_little_endian 1.0\n"
+               b"element vertex 4000000000\n"
+               b"property float x\nproperty float y\nproperty float z\n"
+               b"end_header\n" + b"\x00" * 64)
+        _try_parse(ply_io.load, _write(tmp_path, "huge.ply", hdr))
+
+
+class TestFuzzPCD:
+    def test_random_bytes(self, tmp_path, rng):
+        for i in range(60):
+            n = int(rng.integers(0, 2000))
+            blob = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+            _try_parse(pcd_io.load, _write(tmp_path, f"r{i}.pcd", blob))
+
+    def test_mutated_valid(self, tmp_path, rng):
+        xyz = rng.normal(size=(40, 3)).astype(np.float32)
+        for mode in ("ascii", "binary", "binary_compressed"):
+            base = tmp_path / f"base_{mode}.pcd"
+            pcd_io.save(str(base), from_numpy(xyz), data=mode)
+            data = bytearray(base.read_bytes())
+            for i in range(50):
+                mut = bytearray(data)
+                for _ in range(int(rng.integers(1, 8))):
+                    pos = int(rng.integers(0, len(mut)))
+                    mut[pos] = int(rng.integers(0, 256))
+                _try_parse(pcd_io.load,
+                           _write(tmp_path, f"{mode}{i}.pcd", bytes(mut)))
+
+    def test_truncations(self, tmp_path, rng):
+        xyz = rng.normal(size=(30, 3)).astype(np.float32)
+        base = tmp_path / "base.pcd"
+        pcd_io.save(str(base), from_numpy(xyz), data="binary_compressed")
+        data = base.read_bytes()
+        for i in range(40):
+            cut = int(rng.integers(0, len(data)))
+            _try_parse(pcd_io.load, _write(tmp_path, f"t{i}.pcd", data[:cut]))
+
+    def test_hostile_counts(self, tmp_path):
+        hdr = (b"# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\n"
+               b"TYPE F F F\nCOUNT 1 1 1\nWIDTH 4000000000\nHEIGHT 1\n"
+               b"VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 4000000000\nDATA binary\n"
+               + b"\x00" * 64)
+        _try_parse(pcd_io.load, _write(tmp_path, "huge.pcd", hdr))
