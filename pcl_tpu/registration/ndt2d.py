@@ -136,7 +136,8 @@ class NDT2DResult(NamedTuple):
     score: jax.Array
 
 
-@partial(jax.jit, static_argnames=("grid_extent", "max_iterations", "table_size"))
+@partial(jax.jit, static_argnames=("grid_extent", "max_iterations", "table_size",
+                                   "levels"))
 def ndt_2d(
     source: Cloud,
     target: Cloud,
@@ -147,21 +148,50 @@ def ndt_2d(
     transformation_eps: float = 1e-5,
     step_max: float = 0.5,
     table_size: int = 1 << 16,
+    levels: int = 2,
 ) -> NDT2DResult:
     """Estimate (tx, ty, theta) aligning source onto target in the XY plane.
 
-    ``grid_extent`` is the NDT cell size (reference setGridExtent /
-    setGridStep combination collapses to one cell size here: the four
-    half-shifted grids provide the smoothing the reference gets from its
-    grid pyramid).
+    ``grid_extent`` is the finest NDT cell size; ``levels`` runs a
+    coarse-to-fine sweep over cell sizes grid*2^(levels-1) .. grid (the
+    reference gets equivalent basin-widening from its grid-step hierarchy,
+    ndt_2d.h setGridStep) — a coarse pass steers Newton into the right
+    basin before the sharp fine-grid optimization (wall scenes have strong
+    90-degree-symmetric local optima).
     """
     xy_t = target.xyz[:, :2]
-    grid = build_grid_2d(xy_t, target.mask, grid_extent, table_size=table_size)
     xy_s = source.xyz[:, :2]
     sm = source.mask
-    res = jnp.asarray(grid_extent, jnp.float32)
     p0 = (jnp.zeros((3,), jnp.float32) if init_params is None
           else jnp.asarray(init_params, jnp.float32))
+
+    def solve_at(cell: float, p0, iters: int):
+        grid = build_grid_2d(xy_t, target.mask, cell, table_size=table_size)
+        res = jnp.asarray(cell, jnp.float32)
+        return _ndt2d_solve(grid, res, xy_s, sm, p0, iters,
+                            transformation_eps, step_max, table_size)
+
+    # coarse-to-fine over cell sizes
+    for lvl in range(levels - 1, 0, -1):
+        p0, *_ = solve_at(grid_extent * (2.0 ** lvl), p0,
+                          max(max_iterations // 2, 8))
+    p, it, f, conv = solve_at(grid_extent, p0, max_iterations)
+
+    c, s = jnp.cos(p[2]), jnp.sin(p[2])
+    T = jnp.eye(4, dtype=jnp.float32)
+    T = T.at[0, 0].set(c).at[0, 1].set(-s).at[1, 0].set(s).at[1, 1].set(c)
+    T = T.at[0, 3].set(p[0]).at[1, 3].set(p[1])
+    n_valid = jnp.maximum(jnp.sum(sm.astype(jnp.float32)), 1.0)
+    return NDT2DResult(
+        transform=T, params=p, converged=conv & jnp.isfinite(f),
+        iterations=it, score=-f / n_valid,
+    )
+
+
+def _ndt2d_solve(grid, res, xy_s, sm, p0, max_iterations,
+                 transformation_eps, step_max, table_size):
+    """Newton + Armijo backtracking at one grid resolution. Returns
+    (p, iterations, f, converged)."""
 
     def score_fn(p):
         """Negative summed Gaussian score over the four grids (minimize)."""
@@ -237,13 +267,4 @@ def ndt_2d(
     init = (jnp.int32(0), p0, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
             False, False)
     it, p, _dn, f, done, conv = jax.lax.while_loop(cond, newton_step, init)
-
-    c, s = jnp.cos(p[2]), jnp.sin(p[2])
-    T = jnp.eye(4, dtype=jnp.float32)
-    T = T.at[0, 0].set(c).at[0, 1].set(-s).at[1, 0].set(s).at[1, 1].set(c)
-    T = T.at[0, 3].set(p[0]).at[1, 3].set(p[1])
-    n_valid = jnp.maximum(jnp.sum(sm.astype(jnp.float32)), 1.0)
-    return NDT2DResult(
-        transform=T, params=p, converged=conv & jnp.isfinite(f),
-        iterations=it, score=-f / n_valid,
-    )
+    return p, it, f, conv

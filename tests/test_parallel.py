@@ -210,3 +210,28 @@ class TestShardedLUM:
         np.testing.assert_allclose(np.asarray(r_sh.poses),
                                    np.asarray(r_ref.poses), atol=2e-3)
         assert float(r_sh.residual) < 1e-5
+
+
+class TestShardedICPCellBackend:
+    def test_cell_matches_brute(self, mesh8, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pcl_tpu.parallel.icp_sharded import sharded_icp
+
+        n = 2048
+        pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+        xi = np.array([0.02, -0.01, 0.015, 0.01, -0.02, 0.01], np.float32)
+        T_true = np.asarray(tf.se3_exp(jnp.asarray(xi)))
+        dst = pts @ T_true[:3, :3].T + T_true[:3, 3]
+        args = (
+            jax.device_put(jnp.asarray(pts), NamedSharding(mesh8, P("points", None))),
+            jax.device_put(jnp.ones(n, bool), NamedSharding(mesh8, P("points"))),
+            jax.device_put(jnp.asarray(dst), NamedSharding(mesh8, P())),
+            jax.device_put(jnp.ones(n, bool), NamedSharding(mesh8, P())),
+        )
+        T_b, _, _ = sharded_icp(mesh8, *args, max_iterations=20,
+                                max_corr_dist=0.12, corr_backend="brute")
+        T_c, _, _ = sharded_icp(mesh8, *args, max_iterations=20,
+                                max_corr_dist=0.12, corr_backend="cell",
+                                cell_cap=32)
+        np.testing.assert_allclose(np.asarray(T_c), T_true, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(T_c), np.asarray(T_b), atol=5e-4)
