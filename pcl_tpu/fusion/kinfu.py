@@ -90,6 +90,29 @@ def _pyr_down_depth(d: jax.Array, sigma_depth: float = 0.1) -> jax.Array:
     return jnp.where(c > 0, s / jnp.maximum(c, 1.0), 0.0)
 
 
+def _pyr_down_map(vm: jax.Array, nm: jax.Array, hit: jax.Array):
+    """2x downsample of raycast vertex/normal maps by hit-masked 2x2
+    averaging (reference resizeVMap/resizeNMap average too). Point-sampling
+    ([::2]) instead DECORRELATES the coarse texture from the area-averaged
+    depth pyramid — residuals then look like noise at the texture amplitude
+    and Gauss-Newton slides along the surface's degenerate directions
+    (observed: level-2 walked 0.3 m off a flat-wall scene)."""
+    H, W, _ = vm.shape
+    Hc, Wc = H // 2, W // 2
+    hb = hit[: 2 * Hc, : 2 * Wc].reshape(Hc, 2, Wc, 2)
+    w = hb.astype(jnp.float32)[..., None]
+    vb = vm[: 2 * Hc, : 2 * Wc].reshape(Hc, 2, Wc, 2, 3)
+    nb = nm[: 2 * Hc, : 2 * Wc].reshape(Hc, 2, Wc, 2, 3)
+    cnt = jnp.sum(w, axis=(1, 3))
+    v_avg = jnp.sum(vb * w, axis=(1, 3)) / jnp.maximum(cnt, 1.0)
+    n_sum = jnp.sum(nb * w, axis=(1, 3))
+    n_avg = n_sum / jnp.maximum(
+        jnp.linalg.norm(n_sum, axis=-1, keepdims=True), 1e-12)
+    hit2 = cnt[..., 0] > 0
+    return (jnp.where(hit2[..., None], v_avg, 0.0),
+            jnp.where(hit2[..., None], n_avg, 0.0), hit2)
+
+
 def _scale_intrinsics(intr: Intrinsics, level: int) -> Intrinsics:
     s = 0.5 ** level
     return Intrinsics(intr.fx * s, intr.fy * s,
@@ -114,6 +137,13 @@ def _projective_icp(
     Returns (pose, n_ok at the last iteration)."""
     H, W, _ = verts_cam.shape
     w2c_prev = jnp.linalg.inv(prev_pose)
+    # exclude the last row/col: image-grid normals come from forward
+    # differences (jnp.roll wraps there, producing garbage normals that are
+    # a large fraction of a COARSE pyramid level's pixels — 22% at 15x20 —
+    # and biased the level-2 solve into wild translations)
+    vv = jnp.arange(H)[:, None]
+    uu = jnp.arange(W)[None, :]
+    interior = (vv < H - 1) & (uu < W - 1)
 
     def gn_iter(carry, _):
         pose, _n = carry
@@ -134,7 +164,8 @@ def _projective_icp(
         ncur = vertex_map_normals(
             jnp.where(valid_cur[..., None], pw, 0.0))
         cosang = jnp.abs(jnp.sum(ncur * nq, axis=-1))
-        ok = valid_cur & inb & hit & (d < dist_thresh) & (cosang > jnp.cos(angle_thresh))
+        ok = (valid_cur & interior & inb & hit & (d < dist_thresh)
+              & (cosang > jnp.cos(angle_thresh)))
         w = ok.astype(jnp.float32).reshape(-1)
         src = pw.reshape(-1, 3)
         dst = q.reshape(-1, 3)
@@ -189,9 +220,10 @@ def kinfu_step(
     phits = [state.prev_hit]
     for _ in range(1, levels):
         depths.append(_pyr_down_depth(depths[-1]))
-        pverts.append(pverts[-1][::2, ::2])
-        pnorms.append(pnorms[-1][::2, ::2])
-        phits.append(phits[-1][::2, ::2])
+        pv, pn, ph = _pyr_down_map(pverts[-1], pnorms[-1], phits[-1])
+        pverts.append(pv)
+        pnorms.append(pn)
+        phits.append(ph)
 
     first = state.frame == 0
 

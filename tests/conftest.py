@@ -76,6 +76,16 @@ _SLOW_TESTS = {
     "test_golden_registration.py::TestFPCSGolden::test_bun_pair_transform",
     "test_golden_registration.py::TestNDTGolden::test_bun_pair_fitness",
     "test_graph.py::TestLUMRealScans::test_lum_improves_multiscan_consistency",
+    "test_parallel.py::TestShardedICPCellBackend::test_cell_matches_brute",
+    "test_tools_extra.py::test_ndt2d_tool",
+    "test_features.py::test_shot_color_shape_and_invariance",
+    "test_features_extended.py::TestSHOT::test_shape_and_norm",
+    "test_ndt2d.py::test_ndt2d_recovers_planar_offset",
+    "test_registration.py::TestICPVariants::test_symmetric",
+    "test_features_global.py::TestRoPS::test_shape_and_invariance",
+    "test_search.py::TestCellList::test_radius_counts",
+    "test_core.py::TestGeometry::test_eigh33_vs_numpy",
+    "test_rejection_fpcs.py::TestRejectors::test_sample_consensus",
 }
 # NOTE: dryrun_multichip + sharded TSDF raycast stay in the default run —
 # they are the driver's multi-chip contract.
