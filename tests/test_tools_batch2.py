@@ -204,3 +204,108 @@ def test_plyheader(mesh_ply, capsys):
     assert main([mesh_ply]) == 0
     out = capsys.readouterr().out
     assert "element vertex" in out
+
+
+@pytest.fixture
+def organized_rgb_pcd(tmp_path, rng):
+    H, W = 32, 40
+    v, u = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    z = 1.0 + 0.2 * ((u > 12) & (u < 26) & (v > 8) & (v < 22))
+    x = (u - W / 2) * z / 40.0
+    y = (v - H / 2) * z / 40.0
+    xyz = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+    rgb = np.stack([u / W, v / H, ((u + v) % 7) / 7.0], -1).reshape(-1, 3)
+    c = Cloud(xyz=jnp.asarray(xyz), mask=jnp.ones((H * W,), bool),
+              width=W, height=H,
+              attrs={"rgb": jnp.asarray(rgb.astype(np.float32))})
+    p = tmp_path / "orgrgb.pcd"
+    save_pcd(p, c)
+    return str(p)
+
+
+def test_linemod_train_and_detect(organized_rgb_pcd, tmp_path):
+    from pcl_tpu.tools.train_linemod_template import main as train
+    from pcl_tpu.tools.linemod_detection import main as detect
+    tpl = str(tmp_path / "t.npz")
+    assert train([organized_rgb_pcd, tpl, "-region", "8", "12", "14", "14",
+                  "-n_features", "32"]) == 0
+    assert detect([organized_rgb_pcd, tpl, "-threshold", "0.5"]) == 0
+
+
+def test_unary_classifier_tools(small_pcd, tmp_path, rng):
+    from pcl_tpu.tools.train_unary_classifier import main as train
+    from pcl_tpu.tools.unary_classifier_segment import main as segment
+    other = tmp_path / "cl2.pcd"
+    xyz = rng.normal(size=(200, 3)).astype(np.float32) * 0.2
+    save_pcd(str(other), from_numpy(xyz))
+    book = str(tmp_path / "book.npz")
+    assert train([small_pcd, str(other), "-o", book, "-clusters", "4"]) == 0
+    assert segment([small_pcd, book, str(tmp_path / "seg.pcd")]) == 0
+
+
+def test_pcap_to_pcd(tmp_path):
+    from pcl_tpu.io.velodyne import encode_packet, write_pcap
+    from pcl_tpu.tools.pcap_to_pcd import main
+    # two synthetic revolutions
+    pkts = []
+    for rev in range(2):
+        for az0 in range(0, 360, 24):
+            pkts.append(encode_packet(
+                np.arange(12, dtype=np.float32) * 2 + az0,
+                np.full((12, 32), 5.0, np.float32),
+                np.full((12, 32), 40.0, np.float32)))
+    pcap = str(tmp_path / "rev.pcap")
+    write_pcap(pcap, pkts)
+    assert main([pcap, str(tmp_path / "sweep")]) == 0
+    import glob
+    assert len(glob.glob(str(tmp_path / "sweep_*.pcd"))) >= 1
+
+
+def test_pclzf2pcd(small_pcd, tmp_path):
+    from pcl_tpu.tools.pclzf2pcd import main
+    assert main([small_pcd, str(tmp_path / "plain.pcd")]) == 0
+
+
+def test_transform_from_viewpoint(small_pcd, tmp_path):
+    from pcl_tpu.tools.pcd_change_viewpoint import main as setvp
+    from pcl_tpu.tools.transform_from_viewpoint import main as tfv
+    vp = str(tmp_path / "vp.pcd")
+    assert setvp([small_pcd, vp, "0.5", "0", "0", "1", "0", "0", "0"]) == 0
+    out = str(tmp_path / "tf.pcd")
+    assert tfv([vp, out]) == 0
+    from pcl_tpu.io import load_pcd
+    a = np.asarray(load_pcd(vp).xyz)
+    b = np.asarray(load_pcd(out).xyz)
+    np.testing.assert_allclose(b[:, 0], a[:, 0] + 0.5, atol=1e-5)
+
+
+def test_voxel_occlusion(tmp_path, rng):
+    from pcl_tpu.tools.voxel_grid_occlusion_estimation import main
+    # two walls: near wall occludes far wall from origin viewpoint
+    yy, zz = np.meshgrid(np.linspace(-0.4, 0.4, 12), np.linspace(-0.4, 0.4, 12))
+    near = np.stack([np.full(yy.size, 1.0), yy.ravel(), zz.ravel()], 1)
+    far = np.stack([np.full(yy.size, 2.0), yy.ravel() * 0.5, zz.ravel() * 0.5], 1)
+    p = tmp_path / "walls.pcd"
+    save_pcd(str(p), from_numpy(np.concatenate([near, far]).astype(np.float32)))
+    out = str(tmp_path / "vis.pcd")
+    assert main([str(p), out, "-leaf", "0.1"]) == 0
+    from pcl_tpu.io import load_pcd
+    vis = np.asarray(load_pcd(out).xyz)
+    # most visible voxels are the near wall
+    assert (np.abs(vis[:, 0] - 1.0) < 0.2).mean() > 0.7
+
+
+def test_icp2d_tool(tmp_path, rng):
+    from pcl_tpu.tools.icp2d import main
+    t = rng.uniform(0, 2, 300).astype(np.float32)
+    pts = np.stack([t, 0.3 * np.sin(3 * t), np.zeros_like(t)], 1)
+    src = pts - np.float32([0.05, 0.02, 0])
+    ps, pt_ = tmp_path / "s.pcd", tmp_path / "t.pcd"
+    save_pcd(str(ps), from_numpy(src))
+    save_pcd(str(pt_), from_numpy(pts))
+    out = str(tmp_path / "a.pcd")
+    assert main([str(ps), str(pt_), out, "-max_dist", "0.3"]) == 0
+    from pcl_tpu.io import load_pcd
+    aligned = np.asarray(load_pcd(out).xyz)
+    err = np.linalg.norm(aligned[:, :2] - pts[:, :2], axis=1)
+    assert np.median(err) < 0.02
