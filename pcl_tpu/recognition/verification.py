@@ -154,3 +154,34 @@ def global_hypothesis_verification(
     active, _, _, _ = jax.lax.while_loop(
         cond, body, (active0, cost(active0), jnp.int32(0), False))
     return active & hypothesis_ok
+
+
+@partial(jax.jit, static_argnames=())
+def papazov_hypothesis_verification(
+    model_pts: jax.Array,       # [M,3] model cloud (subsampled)
+    transforms: jax.Array,      # [H,4,4] hypothesis poses
+    hypothesis_ok: jax.Array,   # [H]
+    scene_pts: jax.Array,       # [S,3]
+    scene_mask: jax.Array,      # [S]
+    inlier_threshold: float = 0.01,
+    support_threshold: float = 0.1,
+    penalty_threshold: float = 0.1,
+) -> jax.Array:
+    """Papazov-style conservative hypothesis filtering (reference:
+    recognition/include/pcl/recognition/hv/hv_papazov.h, defaults :98-99):
+    accept a hypothesis iff its visible-support fraction (model points
+    explained by the scene) is >= support_threshold AND its penalty
+    fraction (model points that project in front of / away from the scene
+    — outliers) is <= penalty_threshold. Per-hypothesis independent — one
+    batched NN sweep decides all H at once. Returns [H] bool."""
+    H = transforms.shape[0]
+    M = model_pts.shape[0]
+    pts = jax.vmap(lambda T: transform_points(T, model_pts))(transforms)
+    _idx, d2 = bruteforce.nn1(scene_pts, scene_mask, pts.reshape(H * M, 3))
+    d2 = d2.reshape(H, M)
+    explained = d2 <= inlier_threshold ** 2
+    support = jnp.mean(explained.astype(jnp.float32), axis=1)
+    penalty = jnp.mean((d2 > (2.0 * inlier_threshold) ** 2).astype(jnp.float32),
+                       axis=1)
+    return hypothesis_ok & (support >= support_threshold) \
+        & (penalty <= penalty_threshold)

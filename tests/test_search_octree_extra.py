@@ -121,3 +121,60 @@ class TestPlotter:
         assert data.startswith(b"P5\n12 10\n255\n")
         img = np.frombuffer(data.split(b"255\n", 1)[1], np.uint8).reshape(10, 12)
         assert img[0, 0] == 255
+
+
+class TestDoubleBufferedOctree:
+    """Octree2BufBase equivalent (reference octree2buf_base.h +
+    octree_pointcloud_changedetector.h)."""
+
+    def test_change_detection_roundtrip(self, rng):
+        from pcl_tpu.octree.double_buffer import DoubleBufferedOctree
+        base = rng.uniform(0, 1, size=(300, 3)).astype(np.float32)
+        moved = base.copy()
+        extra = (rng.uniform(0, 1, size=(40, 3)).astype(np.float32)
+                 + np.float32([2.0, 0, 0]))   # clearly new voxels
+        cur = np.concatenate([moved, extra])
+
+        dbo = DoubleBufferedOctree(resolution=0.1)
+        dbo.set_cloud(base, np.ones(len(base), bool))
+        dbo.switch_buffers()
+        dbo.set_cloud(cur, np.ones(len(cur), bool))
+
+        new_idx = dbo.new_point_indices()
+        # all detected new points are from the extra block
+        assert len(new_idx) >= 30
+        assert (new_idx >= len(moved)).all()
+
+        removed = dbo.removed_leaf_keys()
+        assert len(removed) == 0   # nothing vanished
+
+    def test_xor_differential(self, rng):
+        from pcl_tpu.octree.double_buffer import DoubleBufferedOctree
+        base = rng.uniform(0, 1, size=(200, 3)).astype(np.float32)
+        cur = np.concatenate([base, base[:10] + np.float32([1.5, 0, 0])])
+        dbo = DoubleBufferedOctree(resolution=0.1)
+        dbo.set_cloud(base, np.ones(len(base), bool))
+        dbo.switch_buffers()
+        dbo.set_cloud(cur, np.ones(len(cur), bool))
+        prev_bm = dbo.occupancy_bitmap("previous")
+        cur_bm = dbo.occupancy_bitmap("current")
+        diff = dbo.xor_serialize()
+        # diff is sparse relative to the full stream
+        assert np.count_nonzero(diff) < np.count_nonzero(cur_bm)
+        np.testing.assert_array_equal(dbo.xor_apply(prev_bm, diff), cur_bm)
+
+
+class TestPapazovHV:
+    def test_conservative_filter(self, rng):
+        import jax.numpy as jnp
+        from pcl_tpu.recognition.verification import papazov_hypothesis_verification
+        model = rng.uniform(-0.1, 0.1, size=(60, 3)).astype(np.float32)
+        T_good = np.eye(4, dtype=np.float32)
+        T_bad = np.eye(4, dtype=np.float32); T_bad[:3, 3] = [5, 5, 5]
+        scene = model + rng.normal(scale=0.002, size=model.shape).astype(np.float32)
+        acc = papazov_hypothesis_verification(
+            jnp.asarray(model), jnp.asarray(np.stack([T_good, T_bad])),
+            jnp.ones(2, bool), jnp.asarray(scene),
+            jnp.ones(len(scene), bool), inlier_threshold=0.02)
+        a = np.asarray(acc)
+        assert a[0] and not a[1]
