@@ -144,3 +144,51 @@ class TestDistanceMap:
             ((gy[..., None] - yy) ** 2 + (gx[..., None] - xx) ** 2).min(-1)
         )
         np.testing.assert_allclose(d, brute, atol=1e-3)
+
+
+class TestFaceDetection:
+    """RF depth face detection pipeline (reference recognition/
+    face_detection: forest over integral-image depth features + sliding
+    window)."""
+
+    @staticmethod
+    def _head_patch(rng, patch=24, r=9.0):
+        """Spherical bump (head-like) on a far background."""
+        y, x = np.meshgrid(np.arange(patch), np.arange(patch), indexing="ij")
+        cy = patch / 2 + rng.uniform(-2, 2)
+        cx = patch / 2 + rng.uniform(-2, 2)
+        d2 = (y - cy) ** 2 + (x - cx) ** 2
+        z = np.where(d2 < r * r, 1.0 - 0.3 * np.sqrt(np.maximum(r * r - d2, 0)) / r,
+                     2.0)
+        return (z + rng.normal(scale=0.01, size=z.shape)).astype(np.float32)
+
+    @staticmethod
+    def _clutter_patch(rng, patch=24):
+        """Planar/ramp clutter."""
+        y, x = np.meshgrid(np.arange(patch), np.arange(patch), indexing="ij")
+        a, b = rng.uniform(-0.02, 0.02, 2)
+        z = 1.5 + a * x + b * y
+        return (z + rng.normal(scale=0.01, size=z.shape)).astype(np.float32)
+
+    def test_train_and_detect(self, rng):
+        from pcl_tpu.recognition.face_detection import (
+            train_face_detector, detect_faces)
+        pos = [self._head_patch(rng) for _ in range(40)]
+        neg = [self._clutter_patch(rng) for _ in range(40)]
+        det = train_face_detector(pos, neg, n_trees=8, depth=6)
+
+        # scene: background ramp with one head at (12, 30)
+        H, W = 48, 64
+        y, x = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        scene = (1.5 + 0.005 * x).astype(np.float32)
+        head = self._head_patch(rng)
+        scene[12:36, 30:54] = head
+        found = detect_faces(det, scene, stride=3, threshold=0.6)
+        assert found, "no detection"
+        best = found[0]
+        assert abs(best.y - 12) <= 6 and abs(best.x - 30) <= 6, found
+
+        # clean ramp scene: no detections
+        empty = detect_faces(det, (1.5 + 0.004 * y).astype(np.float32),
+                             stride=3, threshold=0.6)
+        assert len(empty) == 0, empty
