@@ -59,6 +59,16 @@ class Grabber:
     def is_running(self) -> bool:
         return self._running.is_set()
 
+    def frames(self):
+        """Synchronous pull-mode iterator over the grabber's frames — the
+        trigger-mode counterpart of the callback pump (reference:
+        grabber.h trigger_mode / getFramesPerSecond-style polling)."""
+        self._running.set()
+        try:
+            yield from self._produce()
+        finally:
+            self._running.clear()
+
     # -- to implement ----------------------------------------------------
     def _produce(self):
         raise NotImplementedError

@@ -222,3 +222,65 @@ def distance_map(mask_img: jax.Array) -> jax.Array:
     off2 = (xs[:, None] - xs[None, :]) ** 2
     d2 = jnp.min(dy[:, None, :] ** 2 + off2[None], axis=-1)
     return jnp.sqrt(d2)
+
+
+def sample_oriented_point_pairs(
+    cloud: Cloud,
+    pair_dist: float,
+    n_pairs: int = 256,
+    dist_tol: float = 0.05,
+    seed: int = 0,
+):
+    """Sample oriented point pairs ~``pair_dist`` apart, the ObjRecRANSAC
+    sampling primitive (reference: ransac_based/obj_rec_ransac.h
+    sampleOrientedPointPairs). Requires normals.
+
+    Returns (i1 [P] int32, i2 [P] int32, valid [P] bool) — indices into the
+    cloud; ``valid`` is False where no partner at the pair distance exists.
+    """
+    from pcl_tpu.core.cloud import ATTR_NORMAL
+    if ATTR_NORMAL not in cloud.attrs:
+        raise ValueError("sample_oriented_point_pairs requires normals")
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    xyz, mask = cloud.xyz, cloud.mask
+    p_valid = mask.astype(jnp.float32)
+    i1 = jax.random.categorical(k1, jnp.log(p_valid + 1e-9), shape=(n_pairs,))
+    d = jnp.linalg.norm(xyz[None, :, :] - xyz[i1][:, None, :], axis=-1)
+    ok = mask[None, :] & (jnp.abs(d - pair_dist) < dist_tol)
+    logits = jnp.where(ok, 0.0, -1e9)
+    i2 = jax.random.categorical(k2, logits, axis=-1)
+    valid = jnp.take_along_axis(ok, i2[:, None], axis=1)[:, 0] & mask[i1]
+    return i1.astype(jnp.int32), i2.astype(jnp.int32), valid
+
+
+def pair_feature_hash_table(
+    cloud: Cloud,
+    pair_dist: float,
+    n_pairs: int = 2048,
+    dist_tol: float = 0.05,
+    n_bins: int = 16,
+    seed: int = 0,
+):
+    """Histogram of PPF angle features over sampled model pairs — the
+    occupancy statistics of the ObjRecRANSAC model hash table (reference:
+    ransac_based/model_library.h addToHashTable; cells keyed by the three
+    discretized angles). Returns (hist [n_bins,n_bins,n_bins] int32,
+    n_valid_pairs int)."""
+    from pcl_tpu.core.cloud import ATTR_NORMAL
+    i1, i2, valid = sample_oriented_point_pairs(
+        cloud, pair_dist, n_pairs, dist_tol, seed)
+    xyz, nrm = cloud.xyz, cloud.attrs[ATTR_NORMAL]
+    dv = xyz[i2] - xyz[i1]
+    u = dv / (jnp.linalg.norm(dv, axis=-1, keepdims=True) + 1e-12)
+    ang = jnp.stack([
+        jnp.arccos(jnp.clip(jnp.sum(nrm[i1] * u, -1), -1, 1)),
+        jnp.arccos(jnp.clip(jnp.sum(nrm[i2] * u, -1), -1, 1)),
+        jnp.arccos(jnp.clip(jnp.sum(nrm[i1] * nrm[i2], -1), -1, 1)),
+    ], axis=-1)                                        # [P,3] in [0,pi]
+    bins = jnp.clip((ang / jnp.pi * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    lin = (bins[:, 0] * n_bins + bins[:, 1]) * n_bins + bins[:, 2]
+    lin = jnp.where(valid, lin, n_bins ** 3)
+    hist = jnp.zeros((n_bins ** 3 + 1,), jnp.int32).at[lin].add(1)
+    return (np.asarray(hist[:-1]).reshape(n_bins, n_bins, n_bins),
+            int(jnp.sum(valid.astype(jnp.int32))))
