@@ -235,3 +235,66 @@ class TestShardedICPCellBackend:
                                 cell_cap=32)
         np.testing.assert_allclose(np.asarray(T_c), T_true, atol=2e-3)
         np.testing.assert_allclose(np.asarray(T_c), np.asarray(T_b), atol=5e-4)
+
+
+class TestMultiHostRuntime:
+    """Hybrid ICI x DCN mesh + checkpointed restart (parallel/runtime.py)."""
+
+    def test_initialize_single_process_noop(self, monkeypatch):
+        from pcl_tpu.parallel import runtime
+        monkeypatch.delenv("PCL_TPU_COORDINATOR", raising=False)
+        monkeypatch.delenv("PCL_TPU_NPROCS", raising=False)
+        assert runtime.initialize_multihost() is False
+
+    def test_hybrid_mesh_shapes(self):
+        from pcl_tpu.parallel import runtime
+        m = runtime.hybrid_mesh(dcn_size=2)
+        assert runtime.mesh_info(m) == {"dcn": 2, "ici": 4}
+        with pytest.raises(ValueError):
+            runtime.hybrid_mesh(dcn_size=3)
+
+    def test_sharded_icp_on_hybrid_mesh(self, rng):
+        # points sharded over BOTH axes (dcn outer, ici inner); the 6x6
+        # moment psum crosses both — validates the 2-D collective path
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pcl_tpu.parallel import runtime
+        from pcl_tpu.parallel.icp_sharded import sharded_icp
+        mesh = runtime.hybrid_mesh(dcn_size=2)
+        n = 512
+        pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+        xi = np.array([0.05, -0.02, 0.03, 0.1, -0.05, 0.02], np.float32)
+        T_true = np.asarray(tf.se3_exp(jnp.asarray(xi)))
+        dst_pts = pts @ T_true[:3, :3].T + T_true[:3, 3]
+        both = ("dcn", "ici")
+        T, mse, it = sharded_icp(
+            mesh,
+            jax.device_put(jnp.asarray(pts), NamedSharding(mesh, P(both, None))),
+            jax.device_put(jnp.ones(n, bool), NamedSharding(mesh, P(both))),
+            jax.device_put(jnp.asarray(dst_pts), NamedSharding(mesh, P())),
+            jax.device_put(jnp.ones(n, bool), NamedSharding(mesh, P())),
+            max_iterations=25, axis=both,
+        )
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_true),
+                                   atol=2e-3)
+
+    def test_checkpointed_poses_resume(self, tmp_path):
+        from pcl_tpu.parallel.runtime import CheckpointedPoses
+        p = str(tmp_path / "poses.jsonl")
+        ck = CheckpointedPoses(p)
+        nxt0, pose0 = ck.resume()
+        assert nxt0 == 0
+        np.testing.assert_allclose(pose0, np.eye(4))
+        T0 = np.eye(4, dtype=np.float32); T0[0, 3] = 1.0
+        T1 = np.eye(4, dtype=np.float32); T1[1, 3] = 2.0
+        ck.commit(0, T0)
+        ck.commit(1, T1)
+        nxt, pose = ck.resume()
+        assert nxt == 2
+        np.testing.assert_allclose(pose, T1)
+        # torn final line (crash mid-write) -> falls back to last good
+        with open(p, "a") as f:
+            f.write('{"frame": 2, "pose": [1.0, 0')
+        nxt, pose = ck.resume()
+        assert nxt == 2
+        np.testing.assert_allclose(pose, T1)
+        assert len(ck.poses()) == 2
