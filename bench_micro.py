@@ -1,0 +1,97 @@
+"""Microbenchmarks mirroring the reference's google-benchmark suite
+(SURVEY §6 / reference benchmarks/CMakeLists.txt):
+
+  BM_VoxelGrid / BM_ApproxVoxelGrid   (benchmarks/filters/voxel_grid.cpp)
+  BM_RadiusOutlierRemoval             (benchmarks/filters/radius_outlier_removal.cpp)
+  BM_NormalEstimation                 (benchmarks/features/normal_3d.cpp)
+  BM_SHOT                             (benchmarks/features/shot.cpp)
+  BM_RadiusSearch                     (benchmarks/search/radius_search.cpp)
+  BM_SACModelCylinder                 (benchmarks/sample_consensus/sac_model_cylinder.cpp)
+
+Same fixture clouds (table_scene_mug_stereo_textured.pcd,
+milk_cartoon_all_small_clorox.pcd). Each prints ms/op (best of 3 after
+warmup/compile) and writes MICROBENCH.json. Run on the real TPU:
+
+    python bench_micro.py
+"""
+
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+REF = "/root/reference/test"
+TABLE = os.path.join(REF, "table_scene_mug_stereo_textured.pcd")
+MILK = os.path.join(REF, "milk_cartoon_all_small_clorox.pcd")
+
+
+def _time_ms(fn, reps=3):
+    out = fn()
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
+def main():
+    from pcl_tpu.io import load_pcd
+    from pcl_tpu import filters, features, sac
+    from pcl_tpu.search import cell_list
+
+    table = load_pcd(TABLE)
+    milk = load_pcd(MILK)
+    results = {}
+
+    # BM_VoxelGrid: 0.01 leaf on both clouds (reference voxel_grid.cpp:9-46)
+    for name, cloud in (("table", table), ("milk", milk)):
+        results[f"voxel_grid_ms_{name}"] = round(_time_ms(
+            lambda c=cloud: filters.voxel_downsample(c, 0.01).xyz), 3)
+        results[f"approx_voxel_grid_ms_{name}"] = round(_time_ms(
+            lambda c=cloud: filters.approximate_voxel_grid(c, 0.01).xyz), 3)
+
+    # BM_RadiusOutlierRemoval: r=0.02, min 14 neighbors
+    results["radius_outlier_removal_ms_table"] = round(_time_ms(
+        lambda: filters.radius_outlier_removal(table, 0.02, 14).mask), 3)
+
+    # BM_NormalEstimation: k=16 on milk (reference normal_3d.cpp)
+    results["normal_estimation_ms_milk"] = round(_time_ms(
+        lambda: features.estimate_normals(milk, k=16).attrs["normal"]), 3)
+
+    # BM_SHOT: radius 0.05 on a milk subsample with normals
+    milk_n = features.estimate_normals(milk, k=16)
+    results["shot_ms_milk"] = round(_time_ms(
+        lambda: features.estimate_shot(milk_n, radius=0.05, k=32)), 3)
+
+    # BM_RadiusSearch: r=0.05 self-query on table via the cell list
+    tab = cell_list.build(table.xyz, table.mask, jnp.float32(0.05),
+                          table_size=1 << 16, cap=32)
+    jax.block_until_ready(tab.data)
+    results["radius_search_ms_table"] = round(_time_ms(
+        lambda: cell_list.radius_search(tab, table.xyz, 0.05, cap_out=32)[0]), 3)
+
+    # BM_SACModelCylinder: distance scoring of 1024 batched hypotheses
+    from pcl_tpu.segmentation import sac_segmentation
+    table_n = features.estimate_normals(table, k=16)
+    results["sac_cylinder_ms_table"] = round(_time_ms(
+        lambda: sac_segmentation(table_n, sac.CylinderModel(), 0.02,
+                                 n_hypotheses=1024).inliers), 3)
+
+    with open(os.path.join(os.path.dirname(__file__), "MICROBENCH.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from pcl_tpu.core.cloud import Cloud
 from pcl_tpu.core import geometry
 from pcl_tpu.core.transforms import se3_exp, transform_points
+from pcl_tpu.ops import batch33
 from pcl_tpu.search import bruteforce, cell_list
 
 
@@ -85,6 +86,46 @@ class GICPResult(NamedTuple):
     fitness: jax.Array
 
 
+def _pair_information(Cq: jax.Array, CsL: jax.Array, R: jax.Array,
+                      w: jax.Array) -> jax.Array:
+    """Per-pair Mahalanobis information M = w * (C_t + R C_s R^T)^(-1) in
+    lane form [9,N] (reference gicp.hpp:346-353)."""
+    A = batch33.add_scaled_identity(Cq + batch33.sandwich(R, CsL), 1e-9)
+    return batch33.scale(batch33.inv(A), w)
+
+
+def _mahalanobis_gn(T, sxL, q, M, inner_iterations: int):
+    """Inner Gauss-Newton on the se(3) twist with FIXED information M:
+    minimize sum_i (T p_i - q_i)^T M_i (T p_i - q_i). All per-point algebra
+    in [*,N] lane form. Returns (T_new, xis)."""
+    def gn_step(Tl, _):
+        Rl, tl = Tl[:3, :3], Tl[:3, 3]
+        p = Rl @ sxL + tl[:, None]                        # [3,N]
+        r = p - q
+        Mr = batch33.matvec(M, r)                         # [3,N]
+        g_rho = jnp.sum(Mr, axis=1)
+        cx = p[1] * Mr[2] - p[2] * Mr[1]
+        cy = p[2] * Mr[0] - p[0] * Mr[2]
+        cz = p[0] * Mr[1] - p[1] * Mr[0]
+        g = jnp.concatenate([g_rho, jnp.stack([cx, cy, cz]).sum(axis=1)])
+        # H = sum J^T M J with J = [I | -[p]_x]
+        H_tt = jnp.sum(M, axis=1).reshape(3, 3)
+        zero = jnp.zeros_like(p[0])
+        Px = jnp.stack([zero, -p[2], p[1],
+                        p[2], zero, -p[0],
+                        -p[1], p[0], zero])               # [9,N]
+        MPx = batch33.matmul(M, Px)
+        H_tw = -jnp.sum(MPx, axis=1).reshape(3, 3)
+        H_ww = jnp.sum(batch33.matmul(batch33.transpose(Px), MPx),
+                       axis=1).reshape(3, 3)
+        H = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
+        H = H + 1e-6 * jnp.trace(H) / 6.0 * jnp.eye(6)
+        xi = -jnp.linalg.solve(H, g)
+        return se3_exp(xi) @ Tl, xi
+
+    return jax.lax.scan(gn_step, T, None, length=inner_iterations)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -136,6 +177,13 @@ def gicp(
             idx, d2 = bruteforce.nn1(tx, tm, src_t)
             return idx, jnp.where(d2 <= max_d2, d2, jnp.inf)
 
+    # lane-form covariances [9,N]: per-point 3x3 algebra as [N]-vector
+    # multiply-adds — a [N,3,3] einsum/inv tiles every matrix to a full
+    # (8,128) TPU tile (~100x HBM inflation) and dominated the iteration
+    CsL = batch33.to_lanes(Cs)
+    CtL = batch33.to_lanes(Ct)
+    sxL = batch33.vec_to_lanes(sx)                        # [3,N]
+
     def outer(carry):
         it, T, _dn, _mse, done = carry
         src_t = transform_points(T, sx)
@@ -143,36 +191,10 @@ def gicp(
         valid = sm & jnp.isfinite(d2)
         w = valid.astype(jnp.float32)
         idxc = jnp.clip(idx, 0, target.capacity - 1)
-        q = tx[idxc]
-        Cq = Ct[idxc]
-        R = T[:3, :3]
-        # Mahalanobis information per pair: M = (C_t + R C_s R^T)^{-1}
-        # (reference gicp.hpp:346-353)
-        Cs_rot = jnp.einsum("ij,njk,lk->nil", R, Cs, R)
-        M = jnp.linalg.inv(Cq + Cs_rot + 1e-9 * jnp.eye(3))
-        M = M * w[:, None, None]
-
-        # inner Gauss-Newton on xi with fixed M (scan, fixed trip count)
-        def gn_step(Tl, _):
-            p = transform_points(Tl, sx)
-            r = p - q                                     # [N,3]
-            # J_i = [I, -[p]_x] in twist (rho, omega) convention
-            Mr = jnp.einsum("nij,nj->ni", M, r)
-            g_rho = jnp.sum(Mr, axis=0)
-            g_omega = jnp.sum(jnp.cross(p, Mr), axis=0)
-            g = jnp.concatenate([g_rho, g_omega])
-            Px = _skew(p)                                 # [N,3,3]
-            # H = sum J^T M J, with J = [I | -Px]
-            H_tt = jnp.sum(M, axis=0)
-            MPx = jnp.einsum("nij,njk->nik", M, Px)
-            H_tw = -jnp.sum(MPx, axis=0)
-            H_ww = jnp.einsum("nji,njk->ik", Px, MPx)
-            H = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
-            H = H + 1e-6 * jnp.trace(H) / 6.0 * jnp.eye(6)
-            xi = -jnp.linalg.solve(H, g)
-            return se3_exp(xi) @ Tl, xi
-
-        T_new, xis = jax.lax.scan(gn_step, T, None, length=inner_iterations)
+        q = batch33.vec_to_lanes(tx[idxc])                # [3,N]
+        Cq = batch33.gather(CtL, idxc)                    # [9,N]
+        M = _pair_information(Cq, CsL, T[:3, :3], w)      # [9,N]
+        T_new, xis = _mahalanobis_gn(T, sxL, q, M, inner_iterations)
         mse = jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0)
         delta = jnp.linalg.norm(xis[-1])
         done_new = delta < transformation_eps
@@ -250,6 +272,10 @@ def gicp6d(
         d2_geo = jnp.sum((src_t - tx[idxc]) ** 2, axis=-1)
         return idx, jnp.where(d2_geo <= max_d2, d2_geo, jnp.inf)
 
+    CsL = batch33.to_lanes(Cs)
+    CtL = batch33.to_lanes(Ct)
+    sxL = batch33.vec_to_lanes(sx)
+
     def outer(carry):
         it, T, _dn, _mse, done = carry
         src_t = transform_points(T, sx)
@@ -257,30 +283,10 @@ def gicp6d(
         valid = sm & jnp.isfinite(d2)
         w = valid.astype(jnp.float32)
         idxc = jnp.clip(idx, 0, target.capacity - 1)
-        q = tx[idxc]
-        Cq = Ct[idxc]
-        R = T[:3, :3]
-        Cs_rot = jnp.einsum("ij,njk,lk->nil", R, Cs, R)
-        M = jnp.linalg.inv(Cq + Cs_rot + 1e-9 * jnp.eye(3))
-        M = M * w[:, None, None]
-
-        def gn_step(Tl, _):
-            p = transform_points(Tl, sx)
-            r = p - q
-            Mr = jnp.einsum("nij,nj->ni", M, r)
-            g = jnp.concatenate([jnp.sum(Mr, axis=0),
-                                 jnp.sum(jnp.cross(p, Mr), axis=0)])
-            Px = _skew(p)
-            H_tt = jnp.sum(M, axis=0)
-            MPx = jnp.einsum("nij,njk->nik", M, Px)
-            H_tw = -jnp.sum(MPx, axis=0)
-            H_ww = jnp.einsum("nji,njk->ik", Px, MPx)
-            Hm = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
-            Hm = Hm + 1e-6 * jnp.trace(Hm) / 6.0 * jnp.eye(6)
-            xi = -jnp.linalg.solve(Hm, g)
-            return se3_exp(xi) @ Tl, xi
-
-        T_new, xis = jax.lax.scan(gn_step, T, None, length=inner_iterations)
+        q = batch33.vec_to_lanes(tx[idxc])
+        Cq = batch33.gather(CtL, idxc)
+        M = _pair_information(Cq, CsL, T[:3, :3], w)
+        T_new, xis = _mahalanobis_gn(T, sxL, q, M, inner_iterations)
         mse = jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0)
         delta = jnp.linalg.norm(xis[-1])
         return it + 1, T_new, delta, mse, delta < transformation_eps

@@ -87,6 +87,7 @@ def icp(
     cell_cap: int = 32,
     table_size: int = 1 << 17,
     grid_dims=None,
+    index: Optional[cell_list.CellTable] = None,
 ) -> ICPResult:
     """Align ``source`` onto ``target``; returns the 4x4 transform + stats.
 
@@ -122,17 +123,26 @@ def icp(
     # candidate pairs) — small clouds are faster AND exact on the MXU, and
     # dense small clouds overflow r-sized buckets
     big = source.capacity * target.capacity > 1e8
-    use_cells = (corr_backend == "cell") or (
+    use_cells = (index is not None) or (corr_backend == "cell") or (
         corr_backend == "auto" and finite_gate and big and not reciprocal
     )
     if use_cells:
         if not finite_gate:
             raise ValueError("corr_backend='cell' requires finite max_corr_dist")
-        # cell = 2r enables the 8-cell gather scheme (see cell_list)
-        table = cell_list.build(
-            tx, tm, jnp.float32(2.0 * max_corr_dist),
-            table_size=table_size, cap=cell_cap, dims=grid_dims,
-        )
+        if index is not None:
+            # prebuilt target index (build_index) — the setInputTarget
+            # amortization: reuse one table across many align() calls
+            # (reference registration.hpp:85 builds the kd-tree once per
+            # target). Must have been built with cell = 2*max_corr_dist.
+            table = index
+            if table.dims is not None:
+                grid_dims = table.dims
+        else:
+            # cell = 2r enables the 8-cell gather scheme (see cell_list)
+            table = cell_list.build(
+                tx, tm, jnp.float32(2.0 * max_corr_dist),
+                table_size=table_size, cap=cell_cap, dims=grid_dims,
+            )
         # sort the source once so spatially adjacent queries hit nearby
         # table rows — the slab gathers then read HBM near-sequentially
         # every iteration (ICP permutes correspondences; the estimation
@@ -249,6 +259,25 @@ def icp(
         num_correspondences=n_corr,
         convergence_state=code,
         truncated=trunc,
+    )
+
+
+def build_index(
+    target: Cloud,
+    max_corr_dist: float,
+    *,
+    cell_cap: int = 32,
+    table_size: int = 1 << 17,
+    grid_dims=None,
+) -> cell_list.CellTable:
+    """Prebuild the target cell-list for ``icp(..., index=...)`` — the
+    setInputTarget analog (reference registration.hpp:85): pay the one-time
+    index build once and reuse it across align() calls / restarts. The cell
+    size is tied to ``max_corr_dist`` (cell = 2r for the 8-cell gather), so
+    reuse only with the same gate."""
+    return cell_list.build(
+        target.xyz, target.mask, jnp.float32(2.0 * max_corr_dist),
+        table_size=table_size, cap=cell_cap, dims=grid_dims,
     )
 
 

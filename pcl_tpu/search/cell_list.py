@@ -60,7 +60,13 @@ class CellTable:
     cap: int                 # static points per bucket
     data: jax.Array          # [table_size + 1, cap * 4] packed rows:
                              # slot j occupies lanes [4j, 4j+4) = (x, y, z,
-                             # original index as f32); empty slots x=_BIG
+                             # original index as f32); empty slots x=_BIG.
+                             # OVERFLOWING buckets (population > cap) store
+                             # index lanes sign-encoded as -(idx+1), so a
+                             # query detects truncation from the rows it
+                             # already gathered — a separate count[buckets]
+                             # gather measured 7 ms/iter at 120k queries
+                             # (scalar gather; dominated the ICP iteration)
     count: jax.Array         # [table_size + 1] true per-bucket population
                              # (may exceed cap -> truncation detectable)
     # dense addressing (dims != None): bucket = row-major linear cell id
@@ -88,7 +94,8 @@ class CellTable:
 
     @property
     def idx(self) -> jax.Array:
-        return self.data.reshape(self.table_size + 1, self.cap, 4)[..., 3].astype(jnp.int32)
+        raw = self.data.reshape(self.table_size + 1, self.cap, 4)[..., 3]
+        return _decode_idx(raw)
 
 
 def _dense_id(coords: jax.Array, dims: Tuple[int, int, int]) -> jax.Array:
@@ -162,9 +169,21 @@ def build(
     # overflowing ranks land in the overflow row's slot 0 (harmlessly
     # overwritten; the overflow row is never a real bucket)
     slot = jnp.where(keep, hs * cap + rank, jnp.int32(table_size * cap))
+    # sign-encode bucket overflow into the index lane: every slot of a
+    # bucket whose true population exceeds cap stores -(idx+1), so queries
+    # read truncation from the gathered rows at zero extra HBM traffic
+    overflowed = count[hs] > cap                            # [n] (build-time)
+    idx_f = jnp.where(overflowed,
+                      -(jnp.float32(1.0) + order.astype(jnp.float32)),
+                      order.astype(jnp.float32))
+    # entries that don't land in a real slot (rank >= cap, or masked-out
+    # points) all collapse onto the overflow row's slot 0 — force their idx
+    # lane non-negative so probing the overflow row (out-of-grid queries)
+    # doesn't read a stale sign bit as truncation
+    idx_f = jnp.where(mask[order] & keep, idx_f, 0.0)
     rows = jnp.concatenate([
         jnp.where((mask[order] & keep)[:, None], xyz[order], _BIG),
-        order.astype(jnp.float32)[:, None],
+        idx_f[:, None],
     ], axis=1)                                              # [n, 4]
     tbl = jnp.full(((table_size + 1) * cap, 4), _BIG, jnp.float32)
     tbl = tbl.at[slot].set(rows, mode="drop")
@@ -249,11 +268,27 @@ def _packed_sqdist(table: CellTable, buckets: jax.Array, queries: jax.Array):
     return d2, rows
 
 
+def _decode_idx(raw: jax.Array) -> jax.Array:
+    """Undo the overflow sign-encoding: -(idx+1) -> idx, idx -> idx."""
+    return jnp.where(raw < 0, -raw - 1.0, raw).astype(jnp.int32)
+
+
 def _slot_index(rows: jax.Array, slot: jax.Array) -> jax.Array:
     """Original point index stored at packed lane 4*slot+3 (winners only —
     extracting all idx lanes would re-create the bad [Q,S,4] layout)."""
     flat = jnp.take_along_axis(rows, slot * 4 + 3, axis=1)
-    return flat.astype(jnp.int32)
+    return _decode_idx(flat)
+
+
+def _rows_truncated(rows: jax.Array) -> jax.Array:
+    """Per-query truncation flag from the packed rows themselves: any
+    gathered slot carrying a sign-encoded index means its bucket overflowed.
+    Elementwise + one row-reduce over data already in registers — replaces
+    the count[buckets] scalar gather (measured 7 ms/iter at 120k)."""
+    L = rows.shape[1]
+    lane = jnp.arange(L, dtype=jnp.int32)
+    is_idx = (lane % 4) == 3
+    return jnp.min(jnp.where(is_idx[None, :], rows, 0.0), axis=1) < 0.0
 
 
 @partial(jax.jit, static_argnames=("compact",))
@@ -275,7 +310,7 @@ def nn1_radius(
     """
     buckets = _neighbor_buckets(table, queries, r if compact else None)
     d2, rows = _packed_sqdist(table, buckets, queries)    # [Q, S]
-    truncated = jnp.any(table.count[buckets] > table.cap, axis=-1)
+    truncated = _rows_truncated(rows)
     r2 = jnp.asarray(r, jnp.float32) ** 2
     d2 = jnp.where(d2 <= r2, d2, jnp.inf)
     best = jnp.argmin(d2, axis=-1)
@@ -307,7 +342,7 @@ def knn_radius(
     truncated [Q])."""
     buckets = _neighbor_buckets(table, queries)
     d2, rows = _packed_sqdist(table, buckets, queries)
-    truncated = jnp.any(table.count[buckets] > table.cap, axis=-1)
+    truncated = _rows_truncated(rows)
     if r is not None:
         r2 = jnp.asarray(r, jnp.float32) ** 2
         d2 = jnp.where(d2 <= r2, d2, jnp.inf)

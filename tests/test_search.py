@@ -225,3 +225,55 @@ class TestPallasNN:
         i_p, d_p = pallas_nn.nn1_pallas(
             tgt, jnp.zeros((10,), bool), q, qt=8, tt=16, interpret=True)
         assert not np.isfinite(np.asarray(d_p)).any()
+
+
+class TestCellListOverflowEncoding:
+    """The sign-encoded overflow bit (round-2 perf fix: truncation is read
+    from the gathered rows, not a count[buckets] scalar gather)."""
+
+    def test_no_false_truncation_out_of_grid(self, rng):
+        from pcl_tpu.search import cell_list
+        # dense cluster overflows its bucket; a far query probing only
+        # out-of-grid cells (the overflow dumping row) must NOT be flagged
+        cluster = rng.uniform(0, 0.01, size=(50, 3)).astype(np.float32)
+        tab = cell_list.build(jnp.asarray(cluster), jnp.ones(50, bool),
+                              1.0, cap=8, dims=(2, 2, 2))
+        near = jnp.asarray(cluster[:4])
+        far = jnp.asarray(np.float32([[40.0, 40.0, 40.0]]))
+        _, _, trunc_near = cell_list.nn1_radius(tab, near, 0.5, compact=True)
+        _, d2_far, trunc_far = cell_list.nn1_radius(tab, far, 0.5, compact=True)
+        assert np.asarray(trunc_near).all()
+        assert not np.asarray(trunc_far).any()
+        assert np.isinf(np.asarray(d2_far)).all()
+
+    def test_index_decoding_under_overflow(self, rng):
+        from pcl_tpu.search import cell_list
+        # indices returned from an overflowing bucket still decode to the
+        # true nearest stored point
+        target = rng.uniform(0, 0.5, size=(64, 3)).astype(np.float32)
+        tab = cell_list.build(jnp.asarray(target), jnp.ones(64, bool),
+                              1.0, cap=8)
+        idx, d2, trunc = cell_list.nn1_radius(tab, jnp.asarray(target), 1.0)
+        assert np.asarray(trunc).all()           # 64 points, cap 8
+        i = np.asarray(idx)
+        assert ((0 <= i) & (i < 64)).all()
+        # each stored point's own query must find d2 == 0 (itself is kept
+        # only for the first 8 per bucket; for others the nearest kept one)
+        got = np.asarray(d2)
+        kept = i[got == 0.0]
+        assert (np.linalg.norm(target[kept] - target[got == 0.0], axis=1)
+                < 1e-6).all()
+
+    def test_icp_prebuilt_index_matches(self, rng):
+        from pcl_tpu.core.cloud import from_numpy
+        from pcl_tpu.registration.icp import icp, build_index
+        xyz = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+        src = from_numpy(xyz)
+        tgt = from_numpy(xyz + np.float32([0.03, 0.01, 0.0]))
+        kw = dict(max_corr_dist=0.2, max_iterations=10, cell_cap=16,
+                  grid_dims=(8, 8, 8))
+        r1 = icp(src, tgt, corr_backend="cell", **kw)
+        table = build_index(tgt, 0.2, cell_cap=16, grid_dims=(8, 8, 8))
+        r2 = icp(src, tgt, index=table, **kw)
+        np.testing.assert_allclose(np.asarray(r1.transform),
+                                   np.asarray(r2.transform), atol=1e-6)
