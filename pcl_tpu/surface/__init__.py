@@ -33,3 +33,10 @@ from pcl_tpu.surface.mls_upsampling import (
     mls_upsample_voxel_dilation,
 )
 from pcl_tpu.surface.rbf import marching_cubes_rbf
+from pcl_tpu.surface.mesh_smoothing import (
+    laplacian_smooth,
+    taubin_smooth,
+    subdivide_linear,
+    decimate_cluster,
+    boundary_vertices,
+)

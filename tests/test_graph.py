@@ -4,6 +4,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from pcl_tpu.core import transforms as tf
 from pcl_tpu.registration.graph import (
@@ -194,3 +195,62 @@ class TestLUMRealScans:
                    solver="cg", cg_iters=64)
         np.testing.assert_allclose(np.asarray(r_cg.poses),
                                    np.asarray(r_dense.poses), atol=5e-4)
+
+
+class TestGraphOptimizerInterface:
+    """Pluggable PoseGraph/optimize dispatch (registration/graph_optimizer.py,
+    reference graph_optimizer.h/graph_handler.h)."""
+
+    def _two_scan_graph(self, rng):
+        from pcl_tpu.registration.graph_optimizer import PoseGraph
+        pts = rng.uniform(-1, 1, size=(60, 3)).astype(np.float32)
+        offset = np.float32([0.1, -0.05, 0.02])
+        g = PoseGraph()
+        g.add_vertex()
+        g.add_vertex()
+        # scan1 = scan0 shifted: correspondences p in frame0 <-> p - offset
+        g.add_edge(0, 1, pts, pts - offset)
+        g.add_edge(1, 0, pts - offset, pts)
+        return g, offset
+
+    def test_lum_backend(self, rng):
+        g, offset = self._two_scan_graph(rng)
+        poses = g.optimize("lum", max_iterations=5)
+        assert poses.shape == (2, 4, 4)
+        # vertex 1's pose moves scan-1 points back onto scan 0
+        np.testing.assert_allclose(poses[1][:3, 3], offset, atol=5e-3)
+
+    def test_cg_matches_dense(self, rng):
+        g, _ = self._two_scan_graph(rng)
+        dense = g.optimize("lum", max_iterations=3)
+        g2, _ = self._two_scan_graph(rng)
+        cg = g2.optimize("lum_cg", max_iterations=3, cg_iters=64)
+        np.testing.assert_allclose(dense, cg, atol=1e-3)
+
+    def test_elch_backend(self, rng):
+        from pcl_tpu.registration.graph_optimizer import PoseGraph
+        g = PoseGraph()
+        for _ in range(4):
+            g.add_vertex()
+        loop_T = np.eye(4, dtype=np.float32)
+        loop_T[0, 3] = 0.4
+        poses = g.optimize("elch", loop_transform=loop_T)
+        # correction ramps 0 -> full along the chain
+        np.testing.assert_allclose(poses[0][0, 3], 0.0, atol=1e-6)
+        np.testing.assert_allclose(poses[3][0, 3], 0.4, atol=1e-5)
+
+    def test_custom_backend_registration(self, rng):
+        from pcl_tpu.registration.graph_optimizer import (
+            PoseGraph, register_optimizer)
+        called = {}
+
+        def identity_opt(graph, **kw):
+            called["n"] = graph.n_vertices
+            return graph.poses()
+
+        register_optimizer("identity", identity_opt)
+        g, _ = self._two_scan_graph(rng)
+        g.optimize("identity")
+        assert called["n"] == 2
+        with pytest.raises(ValueError):
+            g.optimize("nope")
