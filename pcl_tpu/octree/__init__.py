@@ -28,3 +28,10 @@ from pcl_tpu.octree.linear import (
     at_depth,
 )
 from pcl_tpu.octree.ray import ray_intersected_voxels, approx_nearest_search
+from pcl_tpu.octree.containers import (
+    adjacency,
+    OccupancyGrid,
+    occupancy_from_tree,
+    is_occupied,
+    set_occupied,
+)

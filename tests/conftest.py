@@ -40,6 +40,16 @@ def rng():
 # slow and excluded by pytest.ini's `-m "not slow"` (run all with -m "").
 # Keep this list in sync with `pytest --durations=40`.
 _SLOW_TESTS = {
+    "test_parallel.py::TestMultiHostRuntime::test_sharded_icp_on_hybrid_mesh",
+    "test_parallel.py::TestGraftEntry::test_dryrun_multichip",
+    "test_fusion.py::TestKinfuPyramid::test_pyramid_tracks_fast_yaw_single_level_fails",
+    "test_fusion.py::TestKinfuPyramid::test_lost_detection_and_reset",
+    "test_tools_batch3.py::test_obj_rec_ransac_opps_and_hash",
+    "test_tools_batch3.py::test_crf_segmentation",
+    "test_registration.py::TestICPTranslated::test_recover_translation",
+    "test_tools_batch2.py::test_unary_classifier_tools",
+    "test_features_global.py::TestPersistence::test_distinct_points_survive",
+    "test_search.py::TestCellListOverflowEncoding::test_icp_prebuilt_index_matches",
     "test_ia.py::TestPrerejective::test_recovers_big_rotation",
     "test_rejection_fpcs.py::TestFPCS::test_recovers_large_motion",
     "test_registration_extras.py::TestKFPCS::test_coarse_alignment_on_structured_cloud",

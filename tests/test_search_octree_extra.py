@@ -178,3 +178,58 @@ class TestPapazovHV:
             jnp.ones(len(scene), bool), inlier_threshold=0.02)
         a = np.asarray(acc)
         assert a[0] and not a[1]
+
+
+class TestOctreeContainers:
+    """Adjacency + occupancy leaf containers (octree/containers.py,
+    reference octree_pointcloud_adjacency.h / octree_pointcloud_occupancy.h)."""
+
+    def test_adjacency_two_touching_voxels(self):
+        from pcl_tpu.octree import linear
+        from pcl_tpu.octree.containers import adjacency
+        pts = jnp.asarray([[0.05, 0.05, 0.05], [0.15, 0.05, 0.05],
+                           [0.85, 0.85, 0.85]], jnp.float32)
+        tree = linear.build(pts, jnp.ones(3, bool), 0.1, depth=4)
+        keys, nbr, n = adjacency(tree)
+        n = int(n)
+        assert n == 3
+        nbr = np.asarray(nbr)[:n]
+        # voxel 0 and 1 are x-neighbors; the far one is isolated
+        deg = (nbr >= 0).sum(axis=1)
+        assert sorted(deg.tolist()) == [0, 1, 1]
+        # the two connected leaves point at each other
+        a, b = np.where(deg == 1)[0]
+        assert b in nbr[a] and a in nbr[b]
+
+    def test_adjacency_dense_block_26(self, rng):
+        from pcl_tpu.octree import linear
+        from pcl_tpu.octree.containers import adjacency
+        # full 3x3x3 block of occupied voxels -> center has 26 neighbors
+        cells = np.array([[i, j, k] for i in range(3) for j in range(3)
+                          for k in range(3)], np.float32)
+        pts = jnp.asarray((cells + 0.5) * 0.1)
+        tree = linear.build(pts, jnp.ones(27, bool), 0.1, depth=4)
+        keys, nbr, n = adjacency(tree)
+        assert int(n) == 27
+        deg = (np.asarray(nbr)[:27] >= 0).sum(axis=1)
+        assert deg.max() == 26
+        assert (deg == 26).sum() == 1   # exactly the center
+        assert deg.min() == 7           # corners
+
+    def test_occupancy_set_and_query(self, rng):
+        from pcl_tpu.octree import linear
+        from pcl_tpu.octree.containers import (
+            occupancy_from_tree, is_occupied, set_occupied)
+        pts = rng.uniform(0, 1, size=(50, 3)).astype(np.float32)
+        tree = linear.build(jnp.asarray(pts), jnp.ones(50, bool), 0.05, depth=6)
+        grid = occupancy_from_tree(tree)
+        assert np.asarray(is_occupied(grid, jnp.asarray(pts))).all()
+        far = jnp.asarray(np.float32([[0.99, 0.99, 0.99]]))
+        # union in a new voxel
+        before = bool(is_occupied(grid, far)[0])
+        grid2 = set_occupied(grid, far, jnp.ones(1, bool))
+        assert bool(is_occupied(grid2, far)[0])
+        if not before:
+            assert int(grid2.n_occupied) == int(grid.n_occupied) + 1
+        # old voxels still occupied
+        assert np.asarray(is_occupied(grid2, jnp.asarray(pts))).all()
