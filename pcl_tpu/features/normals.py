@@ -57,14 +57,17 @@ def estimate_normals(
     k: int = 16,
     viewpoint: Optional[jax.Array] = None,
     surface: Optional[Cloud] = None,
-    backend: str = "bruteforce",
+    backend: str = "auto",
     cell_size: Optional[float] = None,
 ) -> Cloud:
     """Attach 'normal' and 'curvature' attrs computed from k-NN neighborhoods.
 
     ``surface`` is the search cloud if different from the query cloud
-    (reference: Feature::setSearchSurface, feature.h:129).
-    """
+    (reference: Feature::setSearchSurface, feature.h:129). ``backend``
+    follows the unified search auto-selector: brute force on small clouds,
+    the packed cell list at scale (300k-point organized frames ran the
+    brute O(N^2) sweep before — 6.2 s/frame on a v5e; the cell path is
+    the NormalEstimationOMP analog)."""
     if viewpoint is None:
         viewpoint = jnp.zeros((3,), jnp.float32)
     surf = surface if surface is not None else cloud
@@ -73,8 +76,12 @@ def estimate_normals(
             raise ValueError("hashgrid backend requires cell_size")
         grid = hashgrid_mod.build(surf.xyz, surf.mask, cell_size)
         idx, d2, valid, _ = hashgrid_mod.knn(grid, cloud.xyz, k)
-    else:
+    elif backend == "bruteforce":
         idx, d2, valid = bruteforce.knn(surf.xyz, surf.mask, cloud.xyz, k)
+    else:
+        from pcl_tpu import search as search_mod
+        idx, d2, valid = search_mod.knn(
+            surf, cloud.xyz, k, backend=backend, cell_size=cell_size)
     nbr = surf.xyz[jnp.clip(idx, 0, surf.capacity - 1)]
     nbr_valid = valid & cloud.mask[:, None]
     n, c = normals_from_neighborhoods(cloud.xyz, nbr, nbr_valid, viewpoint)

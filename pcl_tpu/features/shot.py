@@ -61,14 +61,18 @@ def estimate_shot(
     radius: float,
     k: int = 64,
     n_cos_bins: int = 11,
+    backend: str = "auto",
 ) -> jax.Array:
-    """SHOT descriptors [capacity, 352]. Requires normals."""
+    """SHOT descriptors [capacity, 352]. Requires normals. ``backend``
+    follows the unified search auto-selector (cell list at scale)."""
     if ATTR_NORMAL not in cloud.attrs:
         raise ValueError("estimate_shot requires normals")
+    from pcl_tpu import search as search_mod
     xyz, mask = cloud.xyz, cloud.mask
     normals = cloud.attrs[ATTR_NORMAL]
     n = cloud.capacity
-    idx, d2, valid, _count = bruteforce.radius(xyz, mask, xyz, radius, cap=k)
+    idx, d2, valid, _count = search_mod.radius_search(
+        cloud, xyz, radius, cap=k, backend=backend)
     idxc = jnp.clip(idx, 0, n - 1)
     valid = valid & mask[:, None] & (d2 > 0)        # exclude self
     nbr = xyz[idxc]

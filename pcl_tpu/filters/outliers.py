@@ -24,10 +24,13 @@ def statistical_outlier_removal(
     mean_k: int = 50,
     stddev_mult: float = 1.0,
     negative: bool = False,
+    backend: str = "auto",
 ) -> Cloud:
     """Drop points whose mean-kNN-distance exceeds mean + mult*stddev."""
+    from pcl_tpu import search as search_mod
     # k+1 because the query cloud is the target cloud: slot 0 is the point itself
-    idx, d2, valid = bruteforce.knn(cloud.xyz, cloud.mask, cloud.xyz, mean_k + 1)
+    idx, d2, valid = search_mod.knn(cloud, cloud.xyz, mean_k + 1,
+                                    backend=backend)
     d = jnp.sqrt(jnp.maximum(d2[:, 1:], 0.0))
     v = valid[:, 1:]
     mean_d = jnp.sum(jnp.where(v, d, 0.0), axis=1) / jnp.maximum(jnp.sum(v, axis=1), 1)
@@ -47,10 +50,13 @@ def radius_outlier_removal(
     radius: float,
     min_neighbors: int = 1,
     negative: bool = False,
+    backend: str = "auto",
 ) -> Cloud:
     """Drop points with fewer than min_neighbors others within radius."""
+    from pcl_tpu import search as search_mod
     cap = 1  # we only need the count, not the neighbor list
-    _, _, _, count = bruteforce.radius(cloud.xyz, cloud.mask, cloud.xyz, radius, cap)
+    _, _, _, count = search_mod.radius_search(cloud, cloud.xyz, radius, cap,
+                                              backend=backend)
     keep = (count - 1) >= min_neighbors  # subtract self
     if negative:
         keep = ~keep

@@ -1,11 +1,15 @@
 """Unified neighbor-search API.
 
 Equivalent of ``pcl::search::Search<PointT>`` + the auto-selector
-(reference: search/include/pcl/search/search.h:74, auto.h:31). Two backends:
+(reference: search/include/pcl/search/search.h:74, auto.h:31). Backends:
 
-- ``bruteforce``: exact, MXU-driven; best for <= ~200k target points or
+- ``bruteforce``: exact, MXU-driven; best for <= ~30k target points or
   1-NN correspondence streams.
-- ``hashgrid``: voxel hash; best for radius queries / very large clouds.
+- ``cell``: packed-lane cell list (search/cell_list.py) — the production
+  large-cloud path; exact within a density-estimated horizon, truncation
+  detectable. ``auto`` picks it when the candidate-pair count is large.
+- ``hashgrid``: CSR voxel hash; kept for explicit use (its gathers are
+  slower than the packed cell rows — see cell_list module docstring).
 
 All results are fixed-shape (indices, sqdists, valid[, count]).
 """
@@ -18,11 +22,12 @@ import jax
 import jax.numpy as jnp
 
 from pcl_tpu.core.cloud import Cloud
-from pcl_tpu.search import bruteforce, hashgrid, organized
+from pcl_tpu.search import bruteforce, cell_list, hashgrid, organized
 from pcl_tpu.search.hashgrid import HashGrid, build as build_hashgrid
 
 __all__ = [
     "bruteforce",
+    "cell_list",
     "hashgrid",
     "HashGrid",
     "build_hashgrid",
@@ -30,7 +35,24 @@ __all__ = [
     "knn",
     "radius_search",
     "nn1",
+    "knn_density_radius",
 ]
+
+# above this many candidate pairs (N_target x N_query) the O(N*Q) brute
+# sweep loses to the cell list
+_AUTO_PAIRS = 1e9
+
+
+def knn_density_radius(xyz: jax.Array, mask: jax.Array, k: int) -> jax.Array:
+    """Radius expected to contain ~2k uniform-density neighbors, from the
+    masked bounding box: r = (2k * 3V / (4 pi N))^(1/3) — the horizon the
+    ``cell`` backend uses when none is given."""
+    w = mask[:, None]
+    lo = jnp.min(jnp.where(w, xyz, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(w, xyz, -jnp.inf), axis=0)
+    vol = jnp.prod(jnp.maximum(hi - lo, 1e-6))
+    n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    return jnp.cbrt(2.0 * k * 3.0 * vol / (4.0 * jnp.pi * n))
 
 
 def _unpack(target) -> Tuple[jax.Array, jax.Array]:
@@ -41,11 +63,25 @@ def _unpack(target) -> Tuple[jax.Array, jax.Array]:
 
 
 def knn(target, queries, k: int, backend: str = "auto",
-        cell_size: Optional[float] = None, **kw):
-    """k nearest neighbors of each query. Returns (idx, sqdist, valid)."""
+        cell_size: Optional[float] = None, cell_cap: int = 24,
+        table_size: int = 1 << 17, **kw):
+    """k nearest neighbors of each query. Returns (idx, sqdist, valid).
+
+    ``cell``/big-``auto`` answers are exact for neighbors within the cell
+    horizon (``cell_size`` or the density-estimated radius) when no bucket
+    truncates — kNN for local-neighborhood consumers (normals, covariances,
+    descriptors), which is every hot caller at scale."""
     xyz, mask = _unpack(target)
     queries = queries.xyz if isinstance(queries, Cloud) else jnp.asarray(queries)
-    if backend == "hashgrid" or (backend == "auto" and cell_size is not None):
+    big = xyz.shape[0] * queries.shape[0] > _AUTO_PAIRS
+    if backend == "cell" or (backend == "auto" and big):
+        r = knn_density_radius(xyz, mask, k) if cell_size is None \
+            else jnp.float32(cell_size)
+        table = cell_list.build(xyz, mask, r, table_size=table_size,
+                                cap=cell_cap)
+        idx, d, v, _trunc = cell_list.knn_radius(table, queries, k)
+        return idx, d, v
+    if backend == "hashgrid":
         if cell_size is None:
             raise ValueError("hashgrid backend requires cell_size")
         grid = build_hashgrid(xyz, mask, cell_size)
@@ -54,13 +90,21 @@ def knn(target, queries, k: int, backend: str = "auto",
     return bruteforce.knn(xyz, mask, queries, k, **kw)
 
 
-def radius_search(target, queries, r: float, cap: int, backend: str = "auto", **kw):
+def radius_search(target, queries, r: float, cap: int, backend: str = "auto",
+                  cell_cap: int = 32, table_size: int = 1 << 17, **kw):
     """Neighbors within r (up to ``cap`` nearest). Returns
     (idx, sqdist, valid, count)."""
     xyz, mask = _unpack(target)
     queries = queries.xyz if isinstance(queries, Cloud) else jnp.asarray(queries)
     n = xyz.shape[0]
-    if backend == "hashgrid" or (backend == "auto" and n * queries.shape[0] > 5e8):
+    big = n * queries.shape[0] > _AUTO_PAIRS
+    if backend == "cell" or (backend == "auto" and big):
+        table = cell_list.build(xyz, mask, jnp.float32(r),
+                                table_size=table_size, cap=cell_cap)
+        idx, d, v, count, _trunc = cell_list.radius_search(
+            table, queries, r, cap_out=cap)
+        return idx, d, v, count
+    if backend == "hashgrid":
         grid = build_hashgrid(xyz, mask, r)
         idx, d, v, count, _ = hashgrid.radius(grid, queries, r, cap, **kw)
         return idx, d, v, count

@@ -369,3 +369,176 @@ def radius_search(
     inside = (d2 <= r2) & ~_dedup_mask(table, queries, buckets)
     count = jnp.sum(inside, axis=-1).astype(jnp.int32)
     return idx, dd, valid, count, truncated
+
+
+# --------------------------------------------------------------------------
+# CSR-compact variant — for clouds where the padded bucket table outgrows
+# the fast-gather working set.
+#
+# Measured on a v5e at 1M points (dense 103^3 grid, cap 12): the padded
+# table is 210 MB and row gathers degrade to ~53 ns/row (423 ms/iter for
+# the ICP sweep), while the same gather from the 120k table (19 MB) runs at
+# ~2.2 ns/row — a caching cliff on the gather operand. The CSR layout keeps
+# the operand at raw-data size (16 MB/M points, independent of cap):
+#
+# - points sorted by bucket id, packed (x, y, z, idx) per row in ONE flat
+#   f32 array; bucket b's points live at [start[b], start[b+1]).
+# - consecutive buckets are contiguous, so a z-PAIR (b, b+1) — which the
+#   8-cell scheme always probes together — is ONE contiguous slice:
+#   4 slice-gathers per query instead of 8 row-gathers.
+# - slices are overrun-tolerant: reading past a short bucket picks up the
+#   NEXT buckets' points, which are real cloud points — extra candidates
+#   the radius gate handles, never a correctness issue.
+# - per-bucket truncation (population > cap) is sign-encoded in the idx
+#   lane exactly like the padded table.
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CSRTable:
+    cell_size: jax.Array
+    table_size: int                       # static: number of buckets
+    cap: int                              # static slice length per bucket
+    points: jax.Array                     # [(n + 2*cap) * 4] flat packed rows
+    start: jax.Array                      # [table_size + 2] int32 offsets
+    dims: Optional[Tuple[int, int, int]] = None
+    origin: Optional[jax.Array] = None
+
+    def tree_flatten(self):
+        return ((self.cell_size, self.points, self.start, self.origin),
+                (self.table_size, self.cap, self.dims))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        cell_size, points, start, origin = children
+        return cls(cell_size, aux[0], aux[1], points, start, aux[2], origin)
+
+
+@partial(jax.jit, static_argnames=("table_size", "cap", "dims"))
+def build_csr(
+    xyz: jax.Array,
+    mask: jax.Array,
+    cell_size,
+    table_size: int = 1 << 17,
+    cap: int = 8,
+    dims: Optional[Tuple[int, int, int]] = None,
+    origin=None,
+) -> CSRTable:
+    """Sort points into bucket order; one argsort, no scatter."""
+    n = xyz.shape[0]
+    cell_size = jnp.asarray(cell_size, jnp.float32)
+    if dims is not None:
+        if origin is None:
+            origin = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0) \
+                - 0.5 * cell_size
+        origin = jnp.asarray(origin, jnp.float32)
+        table_size = int(dims[0] * dims[1] * dims[2])
+        cc = jnp.floor((xyz - origin) / cell_size).astype(jnp.int32)
+        h = _dense_id(cc, dims)
+    else:
+        origin = None
+        h = _hash(_cell_coords(xyz, cell_size), table_size)
+    h = jnp.where(mask, h, jnp.int32(table_size))
+    order = jnp.argsort(h)
+    hs = h[order]
+    start = jnp.searchsorted(
+        hs, jnp.arange(table_size + 2, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    pop = start[1:] - start[:-1]
+    overflowed = pop[hs] > cap                       # per sorted point
+    idx_f = jnp.where(overflowed,
+                      -(jnp.float32(1.0) + order.astype(jnp.float32)),
+                      order.astype(jnp.float32))
+    idx_f = jnp.where(mask[order], idx_f, 0.0)
+    rows = jnp.concatenate([
+        jnp.where(mask[order][:, None], xyz[order], _BIG),
+        idx_f[:, None],
+    ], axis=1)                                        # [n, 4]
+    flat = jnp.concatenate([
+        rows.reshape(-1),
+        jnp.full((2 * cap * 4,), _BIG, jnp.float32),  # overrun pad
+    ])
+    return CSRTable(cell_size=cell_size, table_size=table_size, cap=cap,
+                    points=flat, start=start, dims=dims, origin=origin)
+
+
+def _csr_pair_candidates(table: CSRTable, queries: jax.Array, r):
+    """Gather the candidate slices per query -> cand [Q, n_slices, W].
+
+    Dense addressing: 4 slices of 2*cap rows — the (bz, bz+1) z-pair is
+    CONTIGUOUS in the row-major linear id, so one slice covers both (bz
+    clamped into the grid: a clamped slice reads real in-grid cells, which
+    are harmless extra candidates, and the out-of-grid cell it replaces is
+    empty by construction). Hash addressing: no adjacency to exploit — 8
+    slices of cap rows."""
+    cap = table.cap
+    base = jnp.floor(
+        (queries - jnp.asarray(r, jnp.float32)
+         - (table.origin if table.dims is not None else 0.0))
+        / table.cell_size
+    ).astype(jnp.int32)
+    if table.dims is not None:
+        W = 2 * cap * 4
+        cz = table.dims[2]
+        # clamp bz so (bz, bz+1) stays a valid contiguous pair; x/y handled
+        # per-cell by _dense_id (out-of-grid -> empty overflow region)
+        base = base.at[:, 2].set(jnp.clip(base[:, 2], 0, cz - 2))
+        offs = jnp.array([(0, 0, 0), (0, 1, 0), (1, 0, 0), (1, 1, 0)],
+                         jnp.int32)
+        cells = base[:, None, :] + offs[None, :, :]   # [Q, 4, 3]
+        buckets = _dense_id(cells, table.dims)
+    else:
+        W = cap * 4
+        offs = jnp.array(
+            [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+            jnp.int32)
+        cells = base[:, None, :] + offs[None, :, :]   # [Q, 8, 3]
+        buckets = _hash(cells, table.table_size)
+    starts = table.start[buckets]                     # [Q, O] scalar gather
+    begin = jnp.minimum(starts * 4,
+                        jnp.int32(table.points.shape[0] - W))
+
+    def slice1(s):
+        return jax.lax.dynamic_slice(table.points, (s,), (W,))
+
+    cand = jax.vmap(jax.vmap(slice1))(begin)          # [Q, O, W]
+    return cand
+
+
+@partial(jax.jit, static_argnames=())
+def nn1_radius_csr(
+    table: CSRTable,
+    queries: jax.Array,
+    r,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Nearest neighbor within ``r`` from the CSR layout. Semantics match
+    nn1_radius (8-cell scheme; requires cell_size >= 2r): exact when no
+    probed bucket overflows ``cap``."""
+    Q = queries.shape[0]
+    cand = _csr_pair_candidates(table, queries, r)    # [Q, O, W]
+    cand = cand.reshape(Q, -1)                        # [Q, L]
+    L = cand.shape[1]
+    S = L // 4
+    lane = jnp.arange(L, dtype=jnp.int32)
+    is_coord = (lane % 4 < 3).astype(jnp.float32)
+    q4 = jnp.concatenate([queries, jnp.zeros_like(queries[:, :1])], axis=1)
+    qb = jnp.tile(q4, (1, S))
+    diff = jnp.clip((cand - qb) * is_coord, -1e15, 1e15)
+    sq = diff * diff
+    G = ((lane[:, None] // 4 == jnp.arange(S, dtype=jnp.int32)[None, :])
+         & (lane[:, None] % 4 < 3)).astype(jnp.float32)
+    d2 = jnp.dot(sq, G, preferred_element_type=jnp.float32)
+    d2 = jnp.where(d2 < 1e29, d2, jnp.inf)
+    r2 = jnp.asarray(r, jnp.float32) ** 2
+    d2 = jnp.where(d2 <= r2, d2, jnp.inf)
+    best = jnp.argmin(d2, axis=-1)
+    best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
+    raw = jnp.take_along_axis(cand, best[:, None] * 4 + 3, axis=1)[:, 0]
+    best_idx = jnp.where(raw < 0, -raw - 1.0, raw).astype(jnp.int32)
+    # truncation from the idx lanes already in hand (overflowing buckets
+    # sign-encode every row). Conservative: an overrun slice can read a
+    # NEIGHBORING bucket's sign bit, so this may over-flag near dense
+    # clusters — never under-flags, which is the safety contract
+    truncated = jnp.min(
+        jnp.where((lane % 4 == 3)[None, :], cand, 0.0), axis=1) < 0.0
+    return best_idx, best_d2, truncated

@@ -277,3 +277,64 @@ class TestCellListOverflowEncoding:
         r2 = icp(src, tgt, index=table, **kw)
         np.testing.assert_allclose(np.asarray(r1.transform),
                                    np.asarray(r2.transform), atol=1e-6)
+
+
+class TestCSRCellList:
+    """CSR-compact cell list (build_csr/nn1_radius_csr) vs the packed table
+    and the brute oracle — the large-cloud gather path."""
+
+    def test_dense_matches_packed(self, rng):
+        from pcl_tpu.search import cell_list
+        n = 4000
+        tgt = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+        q = rng.uniform(-5.5, 5.5, size=(1500, 3)).astype(np.float32)
+        mask = jnp.ones(n, bool)
+        r = 0.4
+        ptab = cell_list.build(jnp.asarray(tgt), mask, jnp.float32(2 * r),
+                               cap=16, dims=(15, 15, 15))
+        pi, pd, _ = cell_list.nn1_radius(ptab, jnp.asarray(q), r, compact=True)
+        ctab = cell_list.build_csr(jnp.asarray(tgt), mask, jnp.float32(2 * r),
+                                   cap=16, dims=(15, 15, 15))
+        ci, cd, ct = cell_list.nn1_radius_csr(ctab, jnp.asarray(q), r)
+        pd, cd = np.asarray(pd), np.asarray(cd)
+        both_inf = np.isinf(pd) & np.isinf(cd)
+        np.testing.assert_allclose(cd[~both_inf], pd[~both_inf],
+                                   rtol=1e-5, atol=1e-7)
+        fin = np.isfinite(pd)
+        np.testing.assert_array_equal(np.asarray(ci)[fin], np.asarray(pi)[fin])
+        assert not np.asarray(ct).any()
+
+    def test_overflow_flagged_and_masking(self, rng):
+        from pcl_tpu.search import cell_list
+        cl = rng.uniform(0, 0.05, size=(60, 3)).astype(np.float32)
+        tc = cell_list.build_csr(jnp.asarray(cl), jnp.ones(60, bool), 1.0,
+                                 cap=8, dims=(2, 2, 2))
+        _, _, tr = cell_list.nn1_radius_csr(tc, jnp.asarray(cl[:5]), 0.5)
+        assert np.asarray(tr).all()
+        # masked points never returned
+        n = 2000
+        tgt = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+        m = jnp.asarray(np.arange(n) < 1000)
+        tab = cell_list.build_csr(jnp.asarray(tgt), m, 0.5, cap=16,
+                                  dims=(9, 9, 9))
+        i, d, _ = cell_list.nn1_radius_csr(tab, jnp.asarray(tgt), 0.25)
+        fin = np.isfinite(np.asarray(d))
+        assert (np.asarray(i)[fin] < 1000).all()
+
+    def test_hash_mode_contract(self, rng):
+        # hash addressing: exact wherever no probed bucket overflows
+        from pcl_tpu.search import cell_list, bruteforce
+        n = 3000
+        tgt = rng.uniform(-4, 4, size=(n, 3)).astype(np.float32)
+        mask = jnp.ones(n, bool)
+        r = 0.3
+        tab = cell_list.build_csr(jnp.asarray(tgt), mask, jnp.float32(2 * r),
+                                  cap=32, table_size=1 << 14)
+        i, d, tr = cell_list.nn1_radius_csr(tab, jnp.asarray(tgt), r)
+        bi, bd = bruteforce.nn1(jnp.asarray(tgt), mask, jnp.asarray(tgt))
+        bd = np.where(np.asarray(bd) <= r * r, np.asarray(bd), np.inf)
+        ok = ~np.asarray(tr)
+        d = np.asarray(d)
+        both_inf = np.isinf(d) & np.isinf(bd)
+        agree = np.isclose(d, bd, rtol=1e-4, atol=1e-6) | both_inf
+        assert agree[ok].all()
