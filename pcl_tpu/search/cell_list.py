@@ -372,14 +372,19 @@ def radius_search(
 
 
 # --------------------------------------------------------------------------
-# CSR-compact variant — for clouds where the padded bucket table outgrows
-# the fast-gather working set.
+# CSR-compact variant — memory-minimal layout (operand ~= raw data size,
+# independent of cap).
 #
-# Measured on a v5e at 1M points (dense 103^3 grid, cap 12): the padded
+# Context: on a v5e at 1M points (dense 103^3 grid, cap 12) the padded
 # table is 210 MB and row gathers degrade to ~53 ns/row (423 ms/iter for
-# the ICP sweep), while the same gather from the 120k table (19 MB) runs at
-# ~2.2 ns/row — a caching cliff on the gather operand. The CSR layout keeps
-# the operand at raw-data size (16 MB/M points, independent of cap):
+# the ICP sweep), while the same gather from the 120k table (19 MB) runs
+# at ~2.2 ns/row. This layout was built to shrink the gather operand to
+# 16 MB/M points; HOWEVER, measured on the same v5e the vmapped
+# dynamic-slice fetch lowers to ~7 s/iter — XLA:TPU's gather-of-slices is
+# far slower than its row gather, so the PACKED table remains the TPU
+# production path at every scale. CSR is kept as the memory-compact
+# variant (oracle-tested): useful on CPU, for host-side pipelines, and as
+# the substrate for a future Pallas fetch kernel.
 #
 # - points sorted by bucket id, packed (x, y, z, idx) per row in ONE flat
 #   f32 array; bucket b's points live at [start[b], start[b+1]).
@@ -542,3 +547,127 @@ def nn1_radius_csr(
     truncated = jnp.min(
         jnp.where((lane % 4 == 3)[None, :], cand, 0.0), axis=1) < 0.0
     return best_idx, best_d2, truncated
+
+
+# --------------------------------------------------------------------------
+# Blocked (windowed-span) query path — restores the fast-gather regime on
+# very large DENSE tables.
+#
+# Measured v5e gather rates from a [R, 48] operand, 8M rows: 336 M rows/s
+# at 25 MB, 181 at 50 MB, 55 at 101 MB, ~19 at 210 MB (sorted indices make
+# no difference). The padded 1M-point table (210 MB) therefore pays ~53 ns
+# per row. This path processes CELL-SORTED queries in fixed-size position
+# blocks; each block's 8-cell neighborhoods live in a narrow contiguous
+# band of the row-major table, so the block gathers from a
+# dynamically-sliced span (~<=25 MB) — back on the fast side of the cliff.
+# A needed row outside the span (possible only under heavy density skew or
+# badly stale sort order) is flagged in `truncated`, never silently wrong.
+
+
+def _span_sqdist(span_rows_arr: jax.Array, local: jax.Array,
+                 queries: jax.Array, bucket_ok: jax.Array):
+    """Packed distance over span-gathered rows.
+
+    span_rows_arr [SPAN, cap*4]; local [B, 8] in-span bucket rows;
+    queries [B, 3]; bucket_ok [B, 8]. Returns (d2 [B, 8*cap], rows
+    [B, 8*cap*4])."""
+    Bq = local.shape[0]
+    cap4 = span_rows_arr.shape[1]
+    cap = cap4 // 4
+    rows = span_rows_arr[local].reshape(Bq, 8 * cap4)      # [B, L]
+    L = 8 * cap4
+    S = 8 * cap
+    lane = jnp.arange(L, dtype=jnp.int32)
+    is_coord = (lane % 4 < 3).astype(jnp.float32)
+    q4 = jnp.concatenate([queries, jnp.zeros_like(queries[:, :1])], axis=1)
+    qb = jnp.tile(q4, (1, S))
+    diff = jnp.clip((rows - qb) * is_coord, -1e15, 1e15)
+    sq = diff * diff
+    G = ((lane[:, None] // 4 == jnp.arange(S, dtype=jnp.int32)[None, :])
+         & (lane[:, None] % 4 < 3)).astype(jnp.float32)
+    d2 = jnp.dot(sq, G, preferred_element_type=jnp.float32)
+    d2 = jnp.where(d2 < 1e29, d2, jnp.inf)
+    d2 = jnp.where(jnp.repeat(bucket_ok, cap, axis=1), d2, jnp.inf)
+    return d2, rows
+
+
+@partial(jax.jit, static_argnames=("block_queries", "span_rows"))
+def nn1_radius_blocked(
+    table: CellTable,
+    queries: jax.Array,
+    r,
+    block_queries: int = 65536,
+    span_rows: int = 131072,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """nn1_radius for large DENSE tables: queries MUST be (approximately)
+    sorted by their dense cell id; processed in ``block_queries`` chunks
+    against a ``span_rows`` table window. Semantics match nn1_radius
+    (8-cell scheme, cell >= 2r); `truncated` additionally flags queries
+    whose neighborhood fell outside the block's span (conservative — raise
+    span_rows or re-sort if it fires)."""
+    if table.dims is None:
+        raise ValueError("blocked path requires a dense-grid table")
+    cx, cy, cz = table.dims
+    R = table.table_size
+    cap = table.cap
+    span_rows = min(span_rows, R + 1)
+    Q = queries.shape[0]
+    nb = -(-Q // block_queries)
+    Qpad = nb * block_queries
+    qp = jnp.concatenate(
+        [queries, jnp.full((Qpad - Q, 3), 1e30, jnp.float32)], axis=0)
+
+    strides = jnp.asarray(
+        [(i * cy + j) * cz + k for i in (0, 1) for j in (0, 1)
+         for k in (0, 1)], jnp.int32)                      # [8]
+
+    def block(b):
+        qb = jax.lax.dynamic_slice(
+            qp, (b * block_queries, 0), (block_queries, 3))
+        base = jnp.floor((qb - jnp.asarray(r, jnp.float32) - table.origin)
+                         / table.cell_size).astype(jnp.int32)   # [B,3]
+        # per-axis validity of base and base+1 cells
+        ok0 = (base >= 0) & (base < jnp.asarray([cx, cy, cz]))
+        ok1 = (base + 1 >= 0) & (base + 1 < jnp.asarray([cx, cy, cz]))
+        # bucket_ok[b, o]: offset o = (i, j, k) bits
+        oks = []
+        for i in (0, 1):
+            for j in (0, 1):
+                for k in (0, 1):
+                    sel = jnp.stack([ok1[:, 0] if i else ok0[:, 0],
+                                     ok1[:, 1] if j else ok0[:, 1],
+                                     ok1[:, 2] if k else ok0[:, 2]], axis=1)
+                    oks.append(jnp.all(sel, axis=1))
+        bucket_ok = jnp.stack(oks, axis=1)                 # [B,8]
+        # UNCLIPPED linear arithmetic: with base components possibly -1,
+        # the valid offsets' ids are still exact (the row-major id is
+        # linear in the coords); invalid offsets are masked by bucket_ok.
+        # Clipping base instead would SHIFT the whole neighborhood at the
+        # grid edges.
+        bid = (base[:, 0] * cy + base[:, 1]) * cz + base[:, 2]
+        ids = bid[:, None] + strides[None, :]              # [B,8]
+        # pad queries (x=1e30) have nonsense ids; mask them
+        realq = qb[:, 0] < 1e29
+        idmin = jnp.min(jnp.where(bucket_ok & realq[:, None], ids, R))
+        span_start = jnp.clip(idmin, 0, max(R + 1 - span_rows, 0))
+        span = jax.lax.dynamic_slice(
+            table.data, (span_start, 0), (span_rows, cap * 4))
+        local = ids - span_start
+        in_span = (local >= 0) & (local < span_rows)
+        miss = bucket_ok & ~in_span & realq[:, None]       # real cell, not in span
+        ok = bucket_ok & in_span
+        d2, rows = _span_sqdist(span, jnp.clip(local, 0, span_rows - 1),
+                                qb, ok)
+        r2 = jnp.asarray(r, jnp.float32) ** 2
+        d2 = jnp.where(d2 <= r2, d2, jnp.inf)
+        best = jnp.argmin(d2, axis=-1)
+        best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
+        best_idx = _slot_index(rows, best[:, None])[:, 0]
+        trunc = _rows_truncated(
+            jnp.where(jnp.repeat(ok, 4 * cap, axis=1), rows, 0.0))
+        trunc = trunc | jnp.any(miss, axis=1)
+        return best_idx, best_d2, trunc
+
+    idxs, d2s, truncs = jax.lax.map(block, jnp.arange(nb))
+    return (idxs.reshape(Qpad)[:Q], d2s.reshape(Qpad)[:Q],
+            truncs.reshape(Qpad)[:Q])

@@ -338,3 +338,62 @@ class TestCSRCellList:
         both_inf = np.isinf(d) & np.isinf(bd)
         agree = np.isclose(d, bd, rtol=1e-4, atol=1e-6) | both_inf
         assert agree[ok].all()
+
+
+class TestBlockedCellList:
+    """Windowed-span blocked query path (nn1_radius_blocked) — exact on
+    unflagged queries, conservative truncation flags on span misses."""
+
+    def _setup(self, rng, n=20000):
+        from pcl_tpu.search import cell_list
+        tgt = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+        src = rng.uniform(-5.5, 5.5, size=(n, 3)).astype(np.float32)
+        mask = jnp.ones(n, bool)
+        r = 0.4
+        dims = (15, 15, 15)
+        tab = cell_list.build(jnp.asarray(tgt), mask, jnp.float32(2 * r),
+                              cap=32, dims=dims)
+        key = cell_list._dense_id(
+            cell_list._query_coords(tab, jnp.asarray(src)), dims)
+        qs = jnp.asarray(src[np.argsort(np.asarray(key))])
+        return cell_list, tab, qs, r
+
+    def test_matches_packed_when_span_covers(self, rng):
+        cell_list, tab, qs, r = self._setup(rng)
+        pi, pd, pt = cell_list.nn1_radius(tab, qs, r, compact=True)
+        bi, bd, bt = cell_list.nn1_radius_blocked(
+            tab, qs, r, block_queries=4096, span_rows=4096)
+        # span covers whole table here -> no extra flags, exact everywhere
+        np.testing.assert_array_equal(np.asarray(bt), np.asarray(pt))
+        pd, bd = np.asarray(pd), np.asarray(bd)
+        both_inf = np.isinf(pd) & np.isinf(bd)
+        np.testing.assert_allclose(bd[~both_inf], pd[~both_inf],
+                                   rtol=1e-5, atol=1e-7)
+        fin = np.isfinite(pd)
+        np.testing.assert_array_equal(np.asarray(bi)[fin], np.asarray(pi)[fin])
+
+    def test_tight_span_flags_conservatively(self, rng):
+        cell_list, tab, qs, r = self._setup(rng)
+        pi, pd, pt = cell_list.nn1_radius(tab, qs, r, compact=True)
+        bi, bd, bt = cell_list.nn1_radius_blocked(
+            tab, qs, r, block_queries=4096, span_rows=1024)
+        miss = np.asarray(bt) & ~np.asarray(pt)
+        ok = ~miss
+        pd, bd = np.asarray(pd), np.asarray(bd)
+        agree = np.isclose(bd, pd, rtol=1e-5, atol=1e-7) | \
+            (np.isinf(bd) & np.isinf(pd))
+        assert agree[ok].all()          # every unflagged answer exact
+        assert miss.any()               # the tight span does fire
+
+    def test_unsorted_queries_still_safe(self, rng):
+        cell_list, tab, _, r = self._setup(rng)
+        src = rng.uniform(-5, 5, size=(5000, 3)).astype(np.float32)
+        q = jnp.asarray(src)
+        pi, pd, _ = cell_list.nn1_radius(tab, q, r, compact=True)
+        bi, bd, bt = cell_list.nn1_radius_blocked(
+            tab, q, r, block_queries=1024, span_rows=512)
+        ok = ~np.asarray(bt)
+        pd, bd = np.asarray(pd), np.asarray(bd)
+        agree = np.isclose(bd, pd, rtol=1e-5, atol=1e-7) | \
+            (np.isinf(bd) & np.isinf(pd))
+        assert agree[ok].all()
