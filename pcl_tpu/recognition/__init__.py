@@ -26,3 +26,9 @@ from pcl_tpu.recognition.orr import (
     distance_map,
     TrimmedICPResult,
 )
+from pcl_tpu.recognition.orr import (
+    mask_difference,
+    mask_erode,
+    sample_oriented_point_pairs,
+    pair_feature_hash_table,
+)

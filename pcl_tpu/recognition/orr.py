@@ -284,3 +284,16 @@ def pair_feature_hash_table(
     hist = jnp.zeros((n_bins ** 3 + 1,), jnp.int32).at[lin].add(1)
     return (np.asarray(hist[:-1]).reshape(n_bins, n_bins, n_bins),
             int(jnp.sum(valid.astype(jnp.int32))))
+
+
+def mask_difference(mask0: jax.Array, mask1: jax.Array) -> jax.Array:
+    """XOR difference of two binary masks (reference:
+    recognition/mask_map.h:81 MaskMap::getDifferenceMask)."""
+    return jnp.logical_xor(mask0.astype(bool), mask1.astype(bool))
+
+
+def mask_erode(mask_img: jax.Array, size: int = 3) -> jax.Array:
+    """Binary erosion of a mask image (reference: mask_map.h:121
+    MaskMap::erode) via the shared 2d morphology kernel."""
+    from pcl_tpu.image.ops import erode
+    return erode(mask_img.astype(jnp.float32), size=size) > 0.5
