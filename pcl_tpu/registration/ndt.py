@@ -54,14 +54,21 @@ class NDTGrid:
     mean: jax.Array          # [table_size + 1, 3]
     icov: jax.Array          # [table_size + 1, 3, 3]
     valid: jax.Array         # [table_size + 1] bool (>= min_points)
+    packed: jax.Array        # [table_size + 1, 16] packed row per voxel:
+                             # (mu0..2, m00, m01, m02, m11, m12, m22, valid,
+                             # 0 pad x6) — the score loop gathers THIS and
+                             # evaluates the Mahalanobis form in lane
+                             # arithmetic; gathering icov as [N,O,3,3] pads
+                             # every 3x3 to a full (8,128) TPU tile
 
     def tree_flatten(self):
-        return (self.resolution, self.mean, self.icov, self.valid), (self.table_size,)
+        return ((self.resolution, self.mean, self.icov, self.valid,
+                 self.packed), (self.table_size,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        resolution, mean, icov, valid = children
-        return cls(resolution, aux[0], mean, icov, valid)
+        resolution, mean, icov, valid, packed = children
+        return cls(resolution, aux[0], mean, icov, valid, packed)
 
 
 @partial(jax.jit, static_argnames=("table_size", "min_points"))
@@ -96,12 +103,23 @@ def build_grid(
     inv_lam = 1.0 / jnp.maximum(lam_inf, 1e-12)
     icov = jnp.einsum("vik,vk,vjk->vij", V, inv_lam, V)
     valid = (cnt >= float(min_points)) & (lam_max > 0)
+    mean_v = jnp.where(valid[:, None], mean, 0.0)
+    icov_v = jnp.where(valid[:, None, None], icov, 0.0)
+    packed = jnp.concatenate([
+        mean_v,
+        icov_v[:, 0, 0:3],                    # m00 m01 m02
+        icov_v[:, 1, 1:3],                    # m11 m12
+        icov_v[:, 2, 2:3],                    # m22
+        valid.astype(jnp.float32)[:, None],
+        jnp.zeros((nseg, 6), jnp.float32),
+    ], axis=1)                                # [nseg, 16]
     return NDTGrid(
         resolution=resolution,
         table_size=table_size,
-        mean=jnp.where(valid[:, None], mean, 0.0),
-        icov=jnp.where(valid[:, None, None], icov, 0.0),
+        mean=mean_v,
+        icov=icov_v,
         valid=valid,
+        packed=packed,
     )
 
 
@@ -162,44 +180,48 @@ def ndt(
     res = jnp.asarray(resolution, jnp.float32)
     w_src = sm.astype(jnp.float32)
 
-    def score_fn(xi):
-        """Negative NDT score of pose exp(xi) @ T0 (lower = better)."""
-        T = se3_exp(xi) @ T0
-        p = transform_points(T, sx)                            # [N,3]
+    n_off = offsets.shape[0]
+
+    def _score_at(p):
+        """Negative NDT score of transformed points [N,3] — Mahalanobis
+        forms in LANE arithmetic: the packed voxel rows are gathered once,
+        transposed to [O*16, N], and each offset's quadratic form is 12
+        fused multiply-adds over [N]-lane vectors (an [N,O,3,3] einsum pads
+        every 3x3 to a (8,128) tile; this was the NDT hot-loop cost)."""
         cc = jnp.floor(p / res).astype(jnp.int32)
         nb = cc[:, None, :] + offsets[None, :, :]              # [N,O,3]
         buckets = _hash(nb, grid.table_size)                   # [N,O]
-        mu = grid.mean[buckets]                                # [N,O,3]
-        ic = grid.icov[buckets]                                # [N,O,3,3]
-        ok = grid.valid[buckets] & sm[:, None]
-        x = p[:, None, :] - mu
-        md = jnp.einsum("noi,noij,noj->no", x, ic, x)
-        # reference score_inc = -d1 exp(-d2/2 md) is MAXIMIZED; we minimize
-        # its negation f = sum d1 exp(...) (d1 < 0)
-        contrib = d1 * jnp.exp(-0.5 * d2 * md)
-        contrib = jnp.where(ok, contrib, 0.0)
-        return jnp.sum(contrib)
+        rows = grid.packed[buckets]                            # [N,O,16]
+        t = rows.reshape(-1, n_off * 16).T                     # [O*16, N]
+        px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+        smf = sm
+        total = jnp.float32(0.0)
+        for o in range(n_off):
+            b = o * 16
+            x0 = px - t[b + 0]
+            x1 = py - t[b + 1]
+            x2 = pz - t[b + 2]
+            md = (t[b + 3] * x0 * x0 + t[b + 6] * x1 * x1
+                  + t[b + 8] * x2 * x2
+                  + 2.0 * (t[b + 4] * x0 * x1 + t[b + 5] * x0 * x2
+                           + t[b + 7] * x1 * x2))
+            ok = (t[b + 9] > 0.5) & smf
+            # reference score_inc = -d1 exp(-d2/2 md) is MAXIMIZED; we
+            # minimize its negation f = sum d1 exp(...) (d1 < 0)
+            contrib = d1 * jnp.exp(-0.5 * d2 * md)
+            total = total + jnp.sum(jnp.where(ok, contrib, 0.0))
+        return total
 
-    grad_fn = jax.grad(score_fn)
-    hess_fn = jax.hessian(score_fn)
+    def score_fn(xi):
+        """Negative NDT score of pose exp(xi) @ T0 (lower = better)."""
+        return _score_at(transform_points(se3_exp(xi) @ T0, sx))
 
     def newton_step(carry):
         it, T, _prev_delta, _score, done = carry
         xi0 = jnp.zeros((6,), jnp.float32)
 
         def local_score(xi):
-            Tl = se3_exp(xi) @ T
-            p = transform_points(Tl, sx)
-            cc = jnp.floor(p / res).astype(jnp.int32)
-            nb = cc[:, None, :] + offsets[None, :, :]
-            buckets = _hash(nb, grid.table_size)
-            mu = grid.mean[buckets]
-            ic = grid.icov[buckets]
-            ok = grid.valid[buckets] & sm[:, None]
-            x = p[:, None, :] - mu
-            md = jnp.einsum("noi,noij,noj->no", x, ic, x)
-            contrib = d1 * jnp.exp(-0.5 * d2 * md)   # negated score (minimize)
-            return jnp.sum(jnp.where(ok, contrib, 0.0))
+            return _score_at(transform_points(se3_exp(xi) @ T, sx))
 
         f0 = local_score(xi0)
         g = jax.grad(local_score)(xi0)

@@ -33,10 +33,16 @@ from pcl_tpu.core.cloud import Cloud
 
 
 def _hash2(cc: jax.Array, table_size: int) -> jax.Array:
-    """[..., 2] int32 cell coords -> hash bucket (same multiplicative scheme
-    as the 3-D cell list, two primes)."""
-    h = cc[..., 0] * jnp.int32(73856093) ^ cc[..., 1] * jnp.int32(19349663)
-    return jnp.abs(h) % jnp.int32(table_size)
+    """[..., 2] int32 cell coords -> hash bucket (same avalanche-mixed
+    scheme as the 3-D cell list, two primes)."""
+    h = (cc[..., 0] * jnp.int32(73856093)
+         ^ cc[..., 1] * jnp.int32(19349663)).astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 
 class NDT2DGrid(NamedTuple):
@@ -148,7 +154,7 @@ def ndt_2d(
     transformation_eps: float = 1e-5,
     step_max: float = 0.5,
     table_size: int = 1 << 16,
-    levels: int = 2,
+    levels: int = 3,
 ) -> NDT2DResult:
     """Estimate (tx, ty, theta) aligning source onto target in the XY plane.
 

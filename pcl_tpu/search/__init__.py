@@ -8,6 +8,10 @@ Equivalent of ``pcl::search::Search<PointT>`` + the auto-selector
 - ``cell``: packed-lane cell list (search/cell_list.py) — the production
   large-cloud path; exact within a density-estimated horizon, truncation
   detectable. ``auto`` picks it when the candidate-pair count is large.
+  Contract: results are bounded to the cell horizon, and a bucket denser
+  than ``cell_cap`` truncates (raise cell_cap for heavy density skew).
+  Statistical consumers (normals, descriptors, outlier counts thresholded
+  at min_neighbors <= cell_cap) are unaffected by either bound.
 - ``hashgrid``: CSR voxel hash; kept for explicit use (its gathers are
   slower than the packed cell rows — see cell_list module docstring).
 
@@ -41,6 +45,31 @@ __all__ = [
 # above this many candidate pairs (N_target x N_query) the O(N*Q) brute
 # sweep loses to the cell list
 _AUTO_PAIRS = 1e9
+
+# cap the candidate-tensor working set of one cell-list sweep (bytes of
+# [block, 27*cap*4] f32); above it queries are processed in lax.map chunks
+_SWEEP_BYTES = 256e6
+
+
+def _map_blocks(fn, queries: jax.Array, slots: int):
+    """Apply fn([B,3] queries) -> tuple of [B,...] arrays in fixed-size
+    query chunks when the [Q, slots*4] candidate tensor would blow the
+    memory budget (e.g. 307k organized-frame queries x 27*32 slots = 4.2 GB
+    — OOMed a 16 GB chip)."""
+    Q = queries.shape[0]
+    block = int(max(4096, _SWEEP_BYTES // (slots * 16)))
+    if Q <= block:
+        return fn(queries)
+    nb = -(-Q // block)
+    qp = jnp.concatenate(
+        [queries, jnp.full((nb * block - Q, 3), 1e30, queries.dtype)])
+
+    def body(b):
+        return fn(jax.lax.dynamic_slice(qp, (b * block, 0), (block, 3)))
+
+    outs = jax.lax.map(body, jnp.arange(nb))
+    return jax.tree.map(
+        lambda x: x.reshape((nb * block,) + x.shape[2:])[:Q], outs)
 
 
 def knn_density_radius(xyz: jax.Array, mask: jax.Array, k: int) -> jax.Array:
@@ -79,7 +108,9 @@ def knn(target, queries, k: int, backend: str = "auto",
             else jnp.float32(cell_size)
         table = cell_list.build(xyz, mask, r, table_size=table_size,
                                 cap=cell_cap)
-        idx, d, v, _trunc = cell_list.knn_radius(table, queries, k)
+        idx, d, v, _trunc = _map_blocks(
+            lambda q: cell_list.knn_radius(table, q, k),
+            queries, 27 * cell_cap)
         return idx, d, v
     if backend == "hashgrid":
         if cell_size is None:
@@ -101,8 +132,9 @@ def radius_search(target, queries, r: float, cap: int, backend: str = "auto",
     if backend == "cell" or (backend == "auto" and big):
         table = cell_list.build(xyz, mask, jnp.float32(r),
                                 table_size=table_size, cap=cell_cap)
-        idx, d, v, count, _trunc = cell_list.radius_search(
-            table, queries, r, cap_out=cap)
+        idx, d, v, count, _trunc = _map_blocks(
+            lambda q: cell_list.radius_search(table, q, r, cap_out=cap),
+            queries, 27 * cell_cap)
         return idx, d, v, count
     if backend == "hashgrid":
         grid = build_hashgrid(xyz, mask, r)

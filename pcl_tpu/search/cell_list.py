@@ -48,8 +48,20 @@ def _cell_coords(xyz: jax.Array, cell_size) -> jax.Array:
 
 
 def _hash(coords: jax.Array, table_size: int) -> jax.Array:
-    h = (coords[..., 0] * _P1) ^ (coords[..., 1] * _P2) ^ (coords[..., 2] * _P3)
-    return jnp.abs(h) % jnp.int32(table_size)
+    # prime-multiply XOR plus a murmur3-style avalanche. The bare
+    # ``abs(x*P1 ^ y*P2 ^ z*P3) % 2^k`` variant folds sign-symmetric cells
+    # together and keeps only low-bit structure — measured ~10 distinct
+    # cells merging into one bucket on a [-1,1]^3 cloud (pop 58 at lambda
+    # ~6), silently truncating radius counts. The finalizer mixes high
+    # bits into the index.
+    h = ((coords[..., 0] * _P1) ^ (coords[..., 1] * _P2)
+         ^ (coords[..., 2] * _P3)).astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -49,8 +49,11 @@ def _cell_coords(xyz: jax.Array, cell_size) -> jax.Array:
 
 
 def _hash(coords: jax.Array, table_size: int) -> jax.Array:
-    h = (coords[..., 0] * _P1) ^ (coords[..., 1] * _P2) ^ (coords[..., 2] * _P3)
-    return jnp.abs(h) % jnp.int32(table_size)
+    # shared scheme with cell_list._hash: prime-multiply XOR + murmur3-style
+    # avalanche (the bare abs(...)%2^k variant folds sign-symmetric cells
+    # and merged ~10 cells/bucket on centered clouds)
+    from pcl_tpu.search.cell_list import _hash as _h
+    return _h(coords, table_size)
 
 
 @jax.tree_util.register_pytree_node_class

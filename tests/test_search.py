@@ -397,3 +397,45 @@ class TestBlockedCellList:
         agree = np.isclose(bd, pd, rtol=1e-5, atol=1e-7) | \
             (np.isinf(bd) & np.isinf(pd))
         assert agree[ok].all()
+
+
+class TestUnifiedCellBackend:
+    """search.knn/radius_search backend='cell' + chunked sweeps."""
+
+    def test_outlier_decisions_match_brute(self, rng):
+        from pcl_tpu.core import from_numpy
+        from pcl_tpu import filters
+        pts = rng.uniform(-1, 1, size=(6000, 3)).astype(np.float32)
+        # sprinkle isolated outliers far away
+        out = rng.uniform(4, 5, size=(30, 3)).astype(np.float32)
+        c = from_numpy(np.concatenate([pts, out]))
+        a = filters.radius_outlier_removal(c, 0.2, 10, backend="bruteforce")
+        b = filters.radius_outlier_removal(c, 0.2, 10, backend="cell")
+        # decisions agree except where a neighbor sits within f32 rounding
+        # of exactly r (brute computes d2 in the cancellation-prone
+        # |q|^2+|p|^2-2qp form): those flip the count by ±1 at the
+        # threshold. Everything else must match exactly.
+        am, bm = np.asarray(a.mask), np.asarray(b.mask)
+        diff = np.where(am != bm)[0]
+        from pcl_tpu import search as S
+        _, _, _, cb = S.radius_search(c, c.xyz, 0.2, 1, backend="bruteforce")
+        cb = np.asarray(cb)
+        assert np.all(np.abs(cb[diff] - 1 - 10) <= 1), (
+            f"non-boundary decision flips at {diff}")
+        assert len(diff) <= 0.01 * len(am)
+        # all the far isolated points are dropped by both
+        assert not am[6000:].any() and not bm[6000:].any()
+
+    def test_chunked_equals_single_block(self, rng, monkeypatch):
+        import pcl_tpu.search as S
+        from pcl_tpu.core import from_numpy
+        pts = rng.uniform(-1, 1, size=(9000, 3)).astype(np.float32)
+        c = from_numpy(pts)
+        i1, d1, v1 = S.knn(c, c.xyz, 8, backend="cell")
+        monkeypatch.setattr(S, "_SWEEP_BYTES", 2e6)   # force ~6 chunks
+        i2, d2, v2 = S.knn(c, c.xyz, 8, backend="cell")
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        _, _, _, c1 = S.radius_search(c, c.xyz, 0.2, 16, backend="cell")
+        _, _, _, c2 = S.radius_search(c, c.xyz, 0.2, 16, backend="cell")
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
