@@ -26,20 +26,33 @@ def statistical_outlier_removal(
     negative: bool = False,
     backend: str = "auto",
 ) -> Cloud:
-    """Drop points whose mean-kNN-distance exceeds mean + mult*stddev."""
+    """Drop points whose mean-kNN-distance exceeds mean + mult*stddev.
+
+    Points that find FEWER than mean_k valid neighbors (possible on the
+    radius-bounded cell backend: an isolated outlier beyond the density
+    horizon sees nobody) are treated as outliers and excluded from the
+    global statistics — previously their mean distance read 0 and the
+    filter KEPT exactly the points it exists to remove (ADVICE r2 high).
+    The reference's kd-tree always finds k neighbors, so for points with a
+    full neighborhood the behavior is identical."""
     from pcl_tpu import search as search_mod
     # k+1 because the query cloud is the target cloud: slot 0 is the point itself
     idx, d2, valid = search_mod.knn(cloud, cloud.xyz, mean_k + 1,
                                     backend=backend)
     d = jnp.sqrt(jnp.maximum(d2[:, 1:], 0.0))
     v = valid[:, 1:]
-    mean_d = jnp.sum(jnp.where(v, d, 0.0), axis=1) / jnp.maximum(jnp.sum(v, axis=1), 1)
-    m = cloud.mask
+    nv = jnp.sum(v, axis=1)
+    # a cloud smaller than k+1 points cannot give anyone k neighbors —
+    # require what is actually available
+    required = jnp.minimum(mean_k, jnp.sum(cloud.mask.astype(jnp.int32)) - 1)
+    enough = nv >= required
+    mean_d = jnp.sum(jnp.where(v, d, 0.0), axis=1) / jnp.maximum(nv, 1)
+    m = cloud.mask & enough
     n = jnp.maximum(jnp.sum(m), 1)
     g_mean = jnp.sum(jnp.where(m, mean_d, 0.0)) / n
     g_var = jnp.sum(jnp.where(m, (mean_d - g_mean) ** 2, 0.0)) / jnp.maximum(n - 1, 1)
     thresh = g_mean + stddev_mult * jnp.sqrt(g_var)
-    keep = mean_d <= thresh
+    keep = enough & (mean_d <= thresh)
     if negative:
         keep = ~keep
     return cloud.with_mask(keep)

@@ -72,6 +72,8 @@ def _parse_header(stream) -> PCDHeader:
         key, _, rest = line.partition(" ")
         key = key.upper()
         vals = rest.split()
+        if key in ("WIDTH", "HEIGHT", "POINTS", "DATA") and not vals:
+            raise ValueError(f"PCD: header key {key} has no value")
         if key == "VERSION":
             pass
         elif key == "FIELDS" or key == "COLUMNS":
@@ -101,6 +103,13 @@ def _parse_header(stream) -> PCDHeader:
         h.points = h.width * h.height
     if not h.width:
         h.width, h.height = h.points, 1
+    # structural validation before anything sizes an allocation off these
+    if not (len(h.fields) == len(h.sizes) == len(h.types) == len(h.counts)):
+        raise ValueError("PCD: FIELDS/SIZE/TYPE/COUNT length mismatch")
+    if h.points < 0 or h.width < 0 or h.height < 0:
+        raise ValueError("PCD: negative dimensions")
+    if any(c < 1 for c in h.counts) or any(s < 1 for s in h.sizes):
+        raise ValueError("PCD: non-positive SIZE/COUNT")
     return h
 
 
@@ -138,8 +147,19 @@ def _read_body(h: PCDHeader, stream) -> Dict[str, np.ndarray]:
             out[name] = v.reshape(n, c) if c > 1 else v.reshape(n, 1)
     elif h.data == "binary_compressed":
         sizes = stream.read(8)
+        if len(sizes) < 8:
+            raise ValueError("PCD binary_compressed: truncated size header")
         comp_size, uncomp_size = struct.unpack("<II", sizes)
+        # the uncompressed blob is exactly the field-major body; a hostile
+        # header must not size an unbounded allocation
+        expected = n * h.point_step
+        if uncomp_size != expected:
+            raise ValueError(
+                f"PCD binary_compressed: uncompressed size {uncomp_size} "
+                f"!= body size {expected}")
         comp = stream.read(comp_size)
+        if len(comp) < comp_size:
+            raise ValueError("PCD binary_compressed: truncated body")
         raw = lzf.decompress(comp, uncomp_size)
         # field-major layout: each field's n*count values consecutive
         offset = 0

@@ -59,13 +59,24 @@ def _parse_header(f) -> Tuple[List[_Element], str]:
         if not tokens or tokens[0] == "comment" or tokens[0] == "obj_info":
             continue
         if tokens[0] == "format":
+            if len(tokens) < 2:
+                raise ValueError("malformed PLY format line")
             fmt = tokens[1]
         elif tokens[0] == "element":
-            elements.append(_Element(tokens[1], int(tokens[2])))
+            if len(tokens) < 3:
+                raise ValueError("malformed PLY element line")
+            count = int(tokens[2])
+            if count < 0:
+                raise ValueError("negative PLY element count")
+            elements.append(_Element(tokens[1], count))
         elif tokens[0] == "property":
             if not elements:
                 raise ValueError("property before element in PLY header")
+            if len(tokens) < 3:
+                raise ValueError("malformed PLY property line")
             if tokens[1] == "list":
+                if len(tokens) < 5:
+                    raise ValueError("malformed PLY list property line")
                 elements[-1].properties.append(
                     ("list", tokens[4], _PLY_TYPES[tokens[2]], _PLY_TYPES[tokens[3]])
                 )
@@ -93,6 +104,8 @@ def _read_element_ascii(f, el: _Element):
         )
         if rows.size == 0:
             rows = rows.reshape(0, len(names))
+        if rows.shape[1] != len(names) or rows.shape[0] != el.count:
+            raise ValueError("PLY ascii body shape mismatch")
         return {n: rows[:, i].astype(dt) for i, (n, dt) in enumerate(zip(names, dtypes))}
     out: Dict[str, list] = {p[1]: [] for p in el.properties}
     for _ in range(el.count):
@@ -100,10 +113,16 @@ def _read_element_ascii(f, el: _Element):
         k = 0
         for p in el.properties:
             if p[0] == "list":
+                if k >= len(tokens):
+                    raise ValueError("short PLY ascii row")
                 cnt = int(tokens[k]); k += 1
+                if cnt < 0 or k + cnt > len(tokens):
+                    raise ValueError("bad PLY list count")
                 out[p[1]].append(np.array(tokens[k:k + cnt], dtype=p[3]))
                 k += cnt
             else:
+                if k >= len(tokens):
+                    raise ValueError("short PLY ascii row")
                 out[p[1]].append(p[2](float(tokens[k]))); k += 1
     return {k: (np.stack(v) if v and isinstance(v[0], np.ndarray)
                 and all(len(a) == len(v[0]) for a in v) else v)
@@ -123,14 +142,23 @@ def _read_element_binary(f, el: _Element, byteorder: str):
         for p in el.properties:
             if p[0] == "list":
                 cdt = np.dtype(p[2]).newbyteorder(bo)
-                cnt = int(np.frombuffer(f.read(cdt.itemsize), cdt)[0])
+                raw = f.read(cdt.itemsize)
+                if len(raw) < cdt.itemsize:
+                    raise ValueError("unexpected EOF in PLY list count")
+                cnt = int(np.frombuffer(raw, cdt)[0])
+                if cnt < 0:
+                    raise ValueError("negative PLY list count")
                 idt = np.dtype(p[3]).newbyteorder(bo)
-                out[p[1]].append(
-                    np.frombuffer(f.read(idt.itemsize * cnt), idt).copy()
-                )
+                raw = f.read(idt.itemsize * cnt)
+                if len(raw) < idt.itemsize * cnt:
+                    raise ValueError("unexpected EOF in PLY list body")
+                out[p[1]].append(np.frombuffer(raw, idt).copy())
             else:
                 sdt = np.dtype(p[2]).newbyteorder(bo)
-                out[p[1]].append(np.frombuffer(f.read(sdt.itemsize), sdt)[0])
+                raw = f.read(sdt.itemsize)
+                if len(raw) < sdt.itemsize:
+                    raise ValueError("unexpected EOF in PLY body")
+                out[p[1]].append(np.frombuffer(raw, sdt)[0])
     return {k: (np.stack(v) if v and isinstance(v[0], np.ndarray)
                 and all(len(a) == len(v[0]) for a in v) else v)
             for k, v in out.items()}
@@ -162,10 +190,32 @@ def load(path, capacity=None) -> Cloud:
     return cloud
 
 
+def _body_size_guard(f, elements, fmt) -> None:
+    """Reject absurd element counts BEFORE looping/allocating: the body
+    cannot possibly be shorter than count * (minimal row size). Bounds both
+    allocation and parse-loop length for hostile headers (fuzz contract)."""
+    pos = f.tell()
+    f.seek(0, 2)
+    remaining = f.tell() - pos
+    f.seek(pos)
+    need = 0
+    for el in elements:
+        if fmt == "ascii":
+            row = 2 * max(len(el.properties), 1)   # >= "0 " per property
+        else:
+            row = sum(np.dtype(p[2]).itemsize for p in el.properties)
+        need += el.count * row
+    if need > remaining:
+        raise ValueError(
+            f"PLY body too short: header promises >= {need} bytes, "
+            f"{remaining} present")
+
+
 def load_mesh(path, capacity=None) -> Tuple[Cloud, Optional[np.ndarray]]:
     """Read (vertex cloud, face index array [F,3] or None)."""
     with open(path, "rb") as f:
         elements, fmt = _parse_header(f)
+        _body_size_guard(f, elements, fmt)
         data = {}
         for el in elements:
             if fmt == "ascii":
@@ -194,8 +244,15 @@ def load_mesh(path, capacity=None) -> Tuple[Cloud, Optional[np.ndarray]]:
 
 
 def save(path, cloud: Cloud, binary: bool = True,
-         faces: Optional[np.ndarray] = None) -> None:
-    """Write a Cloud (and optional triangle faces) as PLY."""
+         faces: Optional[np.ndarray] = None,
+         byte_order: str = "little") -> None:
+    """Write a Cloud (and optional triangle faces) as PLY.
+
+    ``byte_order``: 'little' or 'big' for the binary body (the reference
+    writer/reader handle both, io/src/ply_io.cpp)."""
+    if byte_order not in ("little", "big"):
+        raise ValueError("byte_order must be 'little' or 'big'")
+    bo = "<" if byte_order == "little" else ">"
     xyz, attrs = to_numpy(cloud, compact=True)
     n = len(xyz)
     cols: List[Tuple[str, np.ndarray]] = [
@@ -220,7 +277,8 @@ def save(path, cloud: Cloud, binary: bool = True,
                 cols.append((f"{k}_{j}", v[:, j]))
 
     header = ["ply"]
-    header.append("format binary_little_endian 1.0" if binary else "format ascii 1.0")
+    header.append(f"format binary_{byte_order}_endian 1.0" if binary
+                  else "format ascii 1.0")
     header.append("comment generated by pcl_tpu")
     header.append(f"element vertex {n}")
     for name, v in cols:
@@ -233,14 +291,14 @@ def save(path, cloud: Cloud, binary: bool = True,
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         if binary:
-            dt = np.dtype([(name, "<" + np.dtype(v.dtype).str[1:]) for name, v in cols])
+            dt = np.dtype([(name, bo + np.dtype(v.dtype).str[1:]) for name, v in cols])
             rec = np.empty(n, dtype=dt)
             for name, v in cols:
                 rec[name] = v
             f.write(rec.tobytes())
             if faces is not None:
                 faces = np.asarray(faces, np.int32)
-                fdt = np.dtype([("c", np.uint8), ("i", "<i4", (3,))])
+                fdt = np.dtype([("c", np.uint8), ("i", bo + "i4", (3,))])
                 frec = np.empty(len(faces), dtype=fdt)
                 frec["c"] = 3
                 frec["i"] = faces

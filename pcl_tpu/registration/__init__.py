@@ -21,6 +21,10 @@ from pcl_tpu.registration.graph import (
     PoseGraphResult, lum, elch_distribute, build_edges_from_correspondences,
 )
 from pcl_tpu.registration.incremental import IncrementalRegistration, MetaRegistration
+from pcl_tpu.registration.trajectory import (
+    ATEResult, RPEResult, trajectory_ate, trajectory_rpe,
+    odometry_sequence, make_drift_sequence, umeyama_se3,
+)
 
 __all__ = [
     "Correspondences",
@@ -39,6 +43,8 @@ __all__ = [
     "PoseGraphResult", "lum", "elch_distribute",
     "build_edges_from_correspondences",
     "IncrementalRegistration", "MetaRegistration",
+    "ATEResult", "RPEResult", "trajectory_ate", "trajectory_rpe",
+    "odometry_sequence", "make_drift_sequence", "umeyama_se3",
 ]
 
 from pcl_tpu.registration.estimation import (

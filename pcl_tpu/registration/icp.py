@@ -52,9 +52,10 @@ class ICPResult(NamedTuple):
     fitness: jax.Array              # f32 mean squared correspondence distance
     num_correspondences: jax.Array  # int32 at the final iteration
     convergence_state: jax.Array    # int32, CONV_* code
-    truncated: jax.Array            # bool: any cell-list bucket overflowed at
-                                    # the final iteration — correspondences may
-                                    # be non-nearest; raise cell_cap if set.
+    truncated: jax.Array            # bool: any cell-list bucket overflowed (or
+                                    # a blocked-sweep span missed) at ANY
+                                    # iteration — correspondences may have been
+                                    # non-nearest; raise cell_cap if set.
                                     # Always False on the brute-force backend.
 
 
@@ -103,6 +104,11 @@ def icp(
     """
     if init_transform is None:
         init_transform = jnp.eye(4, dtype=jnp.float32)
+    if index is not None and reciprocal:
+        # the cell path (forced by a prebuilt index) implements one-way NN
+        # only; silently ignoring reciprocal=True would change semantics
+        raise ValueError("reciprocal=True is incompatible with a prebuilt "
+                         "index (cell backend is one-way NN)")
     needs_tn = variant in ("point_to_plane", "symmetric")
     if needs_tn and ATTR_NORMAL not in target.attrs:
         raise ValueError(f"icp variant {variant!r} requires target normals")
@@ -255,7 +261,9 @@ def icp(
                 ),
             ),
         ).astype(jnp.int32)
-        return (it, T_new, mse, mse_new, n_corr_new, code, trunc_new)
+        # OR-accumulate: mid-run truncation must surface even if the final
+        # iteration happens to be clean (ADVICE r2)
+        return (it, T_new, mse, mse_new, n_corr_new, code, trunc | trunc_new)
 
     state0 = (
         jnp.int32(0),

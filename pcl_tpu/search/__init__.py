@@ -93,54 +93,71 @@ def _unpack(target) -> Tuple[jax.Array, jax.Array]:
 
 def knn(target, queries, k: int, backend: str = "auto",
         cell_size: Optional[float] = None, cell_cap: int = 24,
-        table_size: int = 1 << 17, **kw):
-    """k nearest neighbors of each query. Returns (idx, sqdist, valid).
+        table_size: int = 1 << 17, return_trunc: bool = False, **kw):
+    """k nearest neighbors of each query. Returns (idx, sqdist, valid)
+    — or (idx, sqdist, valid, truncated [Q] bool) with ``return_trunc``.
 
     ``cell``/big-``auto`` answers are exact for neighbors within the cell
     horizon (``cell_size`` or the density-estimated radius) when no bucket
     truncates — kNN for local-neighborhood consumers (normals, covariances,
-    descriptors), which is every hot caller at scale."""
+    descriptors), which is every hot caller at scale. ``truncated`` flags
+    queries whose bucket overflowed ``cell_cap`` (their neighbor set may be
+    non-nearest); always False on the exact backends (ADVICE r2: the flag
+    was previously discarded here)."""
     xyz, mask = _unpack(target)
     queries = queries.xyz if isinstance(queries, Cloud) else jnp.asarray(queries)
+
+    def _ret(idx, d, v, trunc):
+        return (idx, d, v, trunc) if return_trunc else (idx, d, v)
+
     big = xyz.shape[0] * queries.shape[0] > _AUTO_PAIRS
     if backend == "cell" or (backend == "auto" and big):
         r = knn_density_radius(xyz, mask, k) if cell_size is None \
             else jnp.float32(cell_size)
         table = cell_list.build(xyz, mask, r, table_size=table_size,
                                 cap=cell_cap)
-        idx, d, v, _trunc = _map_blocks(
+        idx, d, v, trunc = _map_blocks(
             lambda q: cell_list.knn_radius(table, q, k),
             queries, 27 * cell_cap)
-        return idx, d, v
+        return _ret(idx, d, v, trunc)
     if backend == "hashgrid":
         if cell_size is None:
             raise ValueError("hashgrid backend requires cell_size")
         grid = build_hashgrid(xyz, mask, cell_size)
         idx, d, v, _ = hashgrid.knn(grid, queries, k, **kw)
-        return idx, d, v
-    return bruteforce.knn(xyz, mask, queries, k, **kw)
+        return _ret(idx, d, v, jnp.zeros((queries.shape[0],), bool))
+    idx, d, v = bruteforce.knn(xyz, mask, queries, k, **kw)
+    return _ret(idx, d, v, jnp.zeros((queries.shape[0],), bool))
 
 
 def radius_search(target, queries, r: float, cap: int, backend: str = "auto",
-                  cell_cap: int = 32, table_size: int = 1 << 17, **kw):
+                  cell_cap: int = 32, table_size: int = 1 << 17,
+                  return_trunc: bool = False, **kw):
     """Neighbors within r (up to ``cap`` nearest). Returns
-    (idx, sqdist, valid, count)."""
+    (idx, sqdist, valid, count) — plus truncated [Q] with ``return_trunc``
+    (see ``knn``)."""
     xyz, mask = _unpack(target)
     queries = queries.xyz if isinstance(queries, Cloud) else jnp.asarray(queries)
     n = xyz.shape[0]
+
+    def _ret(idx, d, v, count, trunc):
+        return (idx, d, v, count, trunc) if return_trunc \
+            else (idx, d, v, count)
+
     big = n * queries.shape[0] > _AUTO_PAIRS
     if backend == "cell" or (backend == "auto" and big):
         table = cell_list.build(xyz, mask, jnp.float32(r),
                                 table_size=table_size, cap=cell_cap)
-        idx, d, v, count, _trunc = _map_blocks(
+        idx, d, v, count, trunc = _map_blocks(
             lambda q: cell_list.radius_search(table, q, r, cap_out=cap),
             queries, 27 * cell_cap)
-        return idx, d, v, count
+        return _ret(idx, d, v, count, trunc)
     if backend == "hashgrid":
         grid = build_hashgrid(xyz, mask, r)
         idx, d, v, count, _ = hashgrid.radius(grid, queries, r, cap, **kw)
-        return idx, d, v, count
-    return bruteforce.radius(xyz, mask, queries, r, cap, **kw)
+        return _ret(idx, d, v, count, jnp.zeros((queries.shape[0],), bool))
+    idx, d, v, count = bruteforce.radius(xyz, mask, queries, r, cap, **kw)
+    return _ret(idx, d, v, count, jnp.zeros((queries.shape[0],), bool))
 
 
 def nn1(target, queries, **kw):

@@ -498,8 +498,11 @@ def _csr_pair_candidates(table: CSRTable, queries: jax.Array, r):
         W = 2 * cap * 4
         cz = table.dims[2]
         # clamp bz so (bz, bz+1) stays a valid contiguous pair; x/y handled
-        # per-cell by _dense_id (out-of-grid -> empty overflow region)
-        base = base.at[:, 2].set(jnp.clip(base[:, 2], 0, cz - 2))
+        # per-cell by _dense_id (out-of-grid -> empty overflow region).
+        # cz == 1: clip(., 0, -1) would yield -1 and map EVERY z-pair out of
+        # grid (ADVICE r2); clamp the upper bound at 0 — the (0, 1) pair then
+        # reads cell 0 plus the next x/y row, harmless extra candidates.
+        base = base.at[:, 2].set(jnp.clip(base[:, 2], 0, max(cz - 2, 0)))
         offs = jnp.array([(0, 0, 0), (0, 1, 0), (1, 0, 0), (1, 1, 0)],
                          jnp.int32)
         cells = base[:, None, :] + offs[None, :, :]   # [Q, 4, 3]

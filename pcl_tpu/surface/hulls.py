@@ -47,7 +47,10 @@ def concave_hull(cloud: Cloud, alpha: float, dim: int = 2
         if dim == 2:
             a, b, c = p
             ab, bc, ca = np.linalg.norm(b - a), np.linalg.norm(c - b), np.linalg.norm(a - c)
-            area2 = abs(np.cross(b - a, c - a))
+            # 2-D cross product scalar (np.cross on 2-D inputs is
+            # deprecated in numpy 2.x)
+            e1, e2 = b - a, c - a
+            area2 = abs(e1[0] * e2[1] - e1[1] * e2[0])
             r = ab * bc * ca / max(2 * area2, 1e-300)
         else:
             # 3D circumradius via the determinant formula

@@ -58,6 +58,9 @@ _SLOW_TESTS = {
     "test_parallel.py::TestShardedICP::test_matches_single_device",
     "test_ia.py::TestSACIA::test_recovers_big_rotation",
     "test_keypoints_tracking_stereo.py::TestKLD::test_tracks_and_adapts",
+    "test_trajectory.py::TestSyntheticDriftOdometry::test_icp_odometry_recovers_trajectory",
+    "test_trajectory.py::TestSyntheticDriftOdometry::test_gicp_odometry_with_noise",
+    "test_trajectory.py::TestBunnySequenceATE::test_bun_sequence",
     "test_parallel.py::TestShardedICP::test_point_to_plane_sharded",
     "test_filters_extra.py::TestTracking::test_tracks_moving_object",
     "test_search.py::TestCellList::test_knn_radius_matches_brute",

@@ -17,10 +17,13 @@ from pcl_tpu.core.cloud import from_numpy
 from pcl_tpu.io import pcd as pcd_io
 from pcl_tpu.io import ply as ply_io
 
-# the clean-rejection contract: these exception types are acceptable
+# the clean-rejection contract: these exception types are acceptable.
+# IndexError and MemoryError are deliberately NOT whitelisted — they are
+# the failure modes this fuzz exists to forbid (VERDICT r2 weak #6: the
+# old list contradicted the docstring).
 OK_ERRORS = (ValueError, EOFError, OSError, KeyError, NotImplementedError,
-             UnicodeDecodeError, StopIteration, zlib.error, MemoryError,
-             IndexError, struct_error := __import__("struct").error)
+             UnicodeDecodeError, zlib.error,
+             struct_error := __import__("struct").error)
 
 
 def _try_parse(parser, path):
