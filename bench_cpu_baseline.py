@@ -28,6 +28,12 @@ import os
 import sys
 import time
 
+# host-only benchmark: never initialize the TPU client (the axon plugin
+# serializes with any concurrently running TPU process)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 from scipy.spatial import cKDTree
 
@@ -150,9 +156,14 @@ def bm_shot(xyz, normals, r=0.05, cap=32):
     return hist
 
 
-def bm_radius_search(xyz, r=0.05):
+def bm_radius_search(xyz, r=0.05, cap=32):
+    # capped radius search (32 nearest within r) — the same op
+    # bench_micro.py's cell-list radius_search(cap_out=32) performs; the
+    # uncapped list form on this 209k organized cloud averages 1266
+    # neighbors/point and is memory-unbounded
     tree = cKDTree(xyz)
-    return tree.query_ball_point(xyz, r, workers=1)
+    d, i = tree.query(xyz, k=cap, distance_upper_bound=r, workers=1)
+    return i
 
 
 def bm_sac_cylinder(xyz, normals, thresh=0.02, hypotheses=1024):

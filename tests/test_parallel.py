@@ -72,6 +72,38 @@ class TestShardedICP:
         np.testing.assert_allclose(np.asarray(T)[:3, 3], delta, atol=2e-3)
 
 
+class TestShardedGICP:
+    def test_matches_single_device(self, mesh8, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pcl_tpu.parallel.gicp_sharded import sharded_gicp
+        from pcl_tpu.core import from_numpy
+        from pcl_tpu.registration.gicp import gicp
+
+        n = 1024
+        # structured surface so GICP's plane-to-plane weights are exercised
+        xy = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
+        z = 0.3 * np.sin(2 * xy[:, 0]) + 0.2 * np.cos(2 * xy[:, 1])
+        pts = np.column_stack([xy, z]).astype(np.float32)
+        xi = np.array([0.02, -0.01, 0.015, 0.01, -0.02, 0.015], np.float32)
+        T_true = np.asarray(tf.se3_exp(jnp.asarray(xi)))
+        dst_pts = pts @ T_true[:3, :3].T + T_true[:3, 3]
+
+        T, mse, it = sharded_gicp(
+            mesh8,
+            jax.device_put(jnp.asarray(pts), NamedSharding(mesh8, P("points", None))),
+            jax.device_put(jnp.ones(n, bool), NamedSharding(mesh8, P("points"))),
+            jax.device_put(jnp.asarray(dst_pts), NamedSharding(mesh8, P())),
+            jax.device_put(jnp.ones(n, bool), NamedSharding(mesh8, P())),
+            max_corr_dist=0.5, max_iterations=20, k_covariances=12,
+        )
+        np.testing.assert_allclose(np.asarray(T), T_true, atol=3e-3)
+
+        res = gicp(from_numpy(pts), from_numpy(dst_pts), max_corr_dist=0.5,
+                   max_iterations=20, k_covariances=12)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(res.transform),
+                                   atol=2e-3)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys, os
