@@ -79,7 +79,7 @@ def main():
                 table.data, (span_start, 0), (span_rows, cap * 4))
             return jnp.sum(span[:8, :8]) + jnp.sum(local[:8].astype(jnp.float32))
         return jax.lax.map(blk, jnp.arange(nb))
-    out["a_addr_span_ms"] = _time_ms(stage_a)
+    out["a_addr_span_ms"] = _time_ms(stage_a); print(out, flush=True)
 
     # B: + the 8-row gather (touch all gathered bytes once)
     @jax.jit
@@ -91,7 +91,7 @@ def main():
             rows = span[local].reshape(bq, 8 * cap * 4)
             return jnp.sum(rows, axis=1)
         return jax.lax.map(blk, jnp.arange(nb))
-    out["b_plus_gather_ms"] = _time_ms(stage_b)
+    out["b_plus_gather_ms"] = _time_ms(stage_b); print(out, flush=True)
 
     # C: + packed distance matmul (no argmin)
     @jax.jit
@@ -104,7 +104,7 @@ def main():
                 span, local, qb, jnp.ones((bq, 8), bool))
             return jnp.min(d2, axis=1)
         return jax.lax.map(blk, jnp.arange(nb))
-    out["c_plus_distance_ms"] = _time_ms(stage_c)
+    out["c_plus_distance_ms"] = _time_ms(stage_c); print(out, flush=True)
 
     # D: full current production path
     out["d_full_ms"] = _time_ms(lambda: cell_list.nn1_radius_blocked(
@@ -119,7 +119,7 @@ def main():
             rows = table.data[ids].reshape(bq, 8 * cap * 4)
             return jnp.sum(rows, axis=1)
         return jax.lax.map(blk, jnp.arange(nb))
-    out["e_gather_full_table_ms"] = _time_ms(stage_e)
+    out["e_gather_full_table_ms"] = _time_ms(stage_e); print(out, flush=True)
 
     # F: pair-view gather — 4 double-rows per query instead of 8 rows.
     # even/odd z-pair views concatenated; idx = (b>>1) + (b&1)*half
@@ -134,7 +134,7 @@ def main():
                              for j in (0, 1)], jnp.int32)
 
     @jax.jit
-    def stage_f():
+    def stage_f(pv):
         def blk(b):
             qb, local, span_start = common(b)
             base = jnp.floor((qb - r - table.origin) / table.cell_size
@@ -142,10 +142,10 @@ def main():
             bid = (base[:, 0] * cy + base[:, 1]) * cz + base[:, 2]
             ids4 = jnp.clip(bid[:, None] + z_strides[None, :], 0, R - 1)
             pidx = (ids4 >> 1) + (ids4 & 1) * half
-            rows = pair_view[pidx].reshape(bq, 8 * C4)
+            rows = pv[pidx].reshape(bq, 8 * C4)
             return jnp.sum(rows, axis=1)
         return jax.lax.map(blk, jnp.arange(nb))
-    out["f_pair_gather_full_ms"] = _time_ms(stage_f)
+    out["f_pair_gather_full_ms"] = _time_ms(lambda: stage_f(pair_view))
 
     print(json.dumps(out, indent=1))
     with open("/root/repo/PROFILE_SWEEP.json", "w") as f:
