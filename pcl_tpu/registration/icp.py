@@ -186,30 +186,41 @@ def icp(
 
         def det(src_t, src_mask, _tx, _tm, max_dist):
             if use_blocked:
-                idx, d2, trunc = cell_list.nn1_radius_blocked(
+                # with_dst: the winner's coordinates come out of the packed
+                # rows the sweep already gathered, skipping the tgt[idx]
+                # re-gather in estimation (~13 ms/iter at 1M)
+                idx, d2, trunc, dst = cell_list.nn1_radius_blocked(
                     table, src_t, max_dist,
-                    block_queries=block_q, span_rows=span_rows)
+                    block_queries=block_q, span_rows=span_rows,
+                    with_dst=True)
             else:
                 idx, d2, trunc = cell_list.nn1_radius(
                     table, src_t, max_dist, compact=True)
+                dst = None
             valid = src_mask & jnp.isfinite(d2)
             # truncation matters only where a masked query actually looked
-            return corr_mod.Correspondences(idx, d2, valid), jnp.any(trunc & src_mask)
+            return (corr_mod.Correspondences(idx, d2, valid),
+                    jnp.any(trunc & src_mask), dst)
     else:
         _det0 = corr_mod.determine_reciprocal_correspondences if reciprocal \
             else corr_mod.determine_correspondences
 
         def det(src_t, src_mask, _tx, _tm, max_dist):
-            return _det0(src_t, src_mask, _tx, _tm, max_dist), jnp.bool_(False)
+            return _det0(src_t, src_mask, _tx, _tm, max_dist), \
+                jnp.bool_(False), None
 
     def iteration(T):
         """One ICP iteration from accumulated transform T. Returns
         (T_new, mse, n_corr)."""
         src_t = transform_points(T, sx)
-        c, trunc = det(src_t, sm, tx, tm, max_corr_dist)
+        c, trunc, dst = det(src_t, sm, tx, tm, max_corr_dist)
         w = c.valid.astype(jnp.float32)
         n_corr = jnp.sum(c.valid.astype(jnp.int32))
-        dst = _gather(tx, c.index)
+        if dst is None:
+            dst = _gather(tx, c.index)
+        # invalid rows may carry garbage winner coords (e.g. _BIG empties);
+        # they are zero-weighted, but keep them finite for the reductions
+        dst = jnp.where(c.valid[:, None], dst, 0.0)
         if variant == "point_to_point":
             T_delta = estimation.estimate_svd(src_t, dst, w)
         elif variant == "point_to_plane":

@@ -303,31 +303,49 @@ def _rows_truncated(rows: jax.Array) -> jax.Array:
     return jnp.min(jnp.where(is_idx[None, :], rows, 0.0), axis=1) < 0.0
 
 
-@partial(jax.jit, static_argnames=("compact",))
+@partial(jax.jit, static_argnames=("compact", "with_dst"))
 def nn1_radius(
     table: CellTable,
     queries: jax.Array,
     r,
     compact: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    with_dst: bool = False,
+):
     """Nearest neighbor within radius ``r``.
 
     Returns (idx [Q] int32, sqdist [Q] — +inf when no neighbor in r,
-    truncated [Q] bool). Exact when not truncated: any point within r lies
-    in the visited neighborhood; hash collisions only add candidates, which
-    the radius gate removes.
+    truncated [Q] bool[, winner xyz [Q,3] with ``with_dst``]). Exact when
+    not truncated: any point within r lies in the visited neighborhood;
+    hash collisions only add candidates, which the radius gate removes.
 
     ``compact`` uses the 8-cell scheme, valid when cell_size >= 2r — ICP
     builds its table that way.
+
+    Winner extraction is one-hot selection matmuls, not take_along_axis:
+    per-element gathers dominated the blocked sweep at 1M (49 ms/iter in
+    the profiler trace) and the same lowering applies here.
     """
     buckets = _neighbor_buckets(table, queries, r if compact else None)
     d2, rows = _packed_sqdist(table, buckets, queries)    # [Q, S]
     truncated = _rows_truncated(rows)
     r2 = jnp.asarray(r, jnp.float32) ** 2
     d2 = jnp.where(d2 <= r2, d2, jnp.inf)
-    best = jnp.argmin(d2, axis=-1)
-    best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
-    best_idx = _slot_index(rows, best[:, None])[:, 0]
+    best_d2 = jnp.min(d2, axis=-1)
+    S = d2.shape[1]
+    L = S * 4
+    lane = jnp.arange(L, dtype=jnp.int32)
+    eq = d2 == best_d2[:, None]
+    sel = (eq & (jnp.cumsum(eq.astype(jnp.int32), axis=1) == 1)
+           ).astype(jnp.float32)
+    R4 = (jnp.arange(S, dtype=jnp.int32)[:, None]
+          == (lane // 4)[None, :]).astype(jnp.float32)
+    K4 = ((lane % 4)[:, None]
+          == jnp.arange(4, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    sel4 = jnp.dot(sel, R4, preferred_element_type=jnp.float32)
+    win = jnp.dot(sel4 * rows, K4, preferred_element_type=jnp.float32)
+    best_idx = _decode_idx(win[:, 3])
+    if with_dst:
+        return best_idx, best_d2, truncated, win[:, :3]
     return best_idx, best_d2, truncated
 
 
@@ -363,6 +381,52 @@ def knn_radius(
     dd = -neg
     idx = _slot_index(rows, which)
     return idx, dd, jnp.isfinite(dd), truncated
+
+
+@jax.jit
+def radius_count(
+    table: CellTable,
+    queries: jax.Array,
+    r,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact in-radius neighbor COUNT (no neighbor lists) — the radius-
+    outlier-removal primitive (reference: filters/include/pcl/filters/
+    radius_outlier_removal.h counts via kd radiusSearch).
+
+    27-cell scheme (requires cell_size >= r); exact when no probed bucket
+    overflows ``cap``. Returns (count [Q] int32, truncated [Q] bool).
+
+    Distances are evaluated PER OFFSET on [Q, cap*4] sections with a small
+    [cap*4, cap] group-sum matmul: the monolithic [Q, 27*cap*4] x
+    [27*cap*4, 27*cap] form costs 27x more MXU flops for the same answer
+    (it computes the zero off-diagonal blocks too) — at cap=128 that is
+    20 TFLOP vs 0.74, the difference between ~5 s and ~40 ms on a 209k
+    organized cloud (MICROBENCH r02's radius_outlier outlier)."""
+    Q = queries.shape[0]
+    cap = table.cap
+    C4 = cap * 4
+    buckets = _neighbor_buckets(table, queries)            # [Q, 27]
+    dup = jnp.zeros(buckets.shape, bool)
+    for i in range(1, 27):
+        dup = dup.at[:, i].set((buckets[:, :i] == buckets[:, i:i + 1]).any(axis=1))
+    r2 = jnp.asarray(r, jnp.float32) ** 2
+    lane = jnp.arange(C4, dtype=jnp.int32)
+    is_coord = (lane % 4 < 3).astype(jnp.float32)[None, :]
+    is_idx = ((lane % 4) == 3)[None, :]
+    G = ((lane[:, None] // 4 == jnp.arange(cap, dtype=jnp.int32)[None, :])
+         & (lane[:, None] % 4 < 3)).astype(jnp.float32)    # [C4, cap]
+    q4 = jnp.concatenate([queries, jnp.zeros_like(queries[:, :1])], axis=1)
+    qb = jnp.tile(q4, (1, cap))                            # [Q, C4]
+    count = jnp.zeros((Q,), jnp.int32)
+    trunc = jnp.zeros((Q,), bool)
+    for o in range(27):
+        rows = table.data[buckets[:, o]]                   # [Q, C4]
+        diff = jnp.clip((rows - qb) * is_coord, -1e15, 1e15)
+        d2 = jnp.dot(diff * diff, G, preferred_element_type=jnp.float32)
+        inside = (d2 <= r2) & ~dup[:, o:o + 1]             # empties ~3e30
+        count = count + jnp.sum(inside, axis=1).astype(jnp.int32)
+        trunc = trunc | (jnp.min(jnp.where(is_idx, rows, 0.0), axis=1) < 0.0)
+    return count, trunc
 
 
 @partial(jax.jit, static_argnames=("cap_out",))
@@ -606,25 +670,34 @@ def _span_sqdist(span_rows_arr: jax.Array, local: jax.Array,
     return d2, rows
 
 
-@partial(jax.jit, static_argnames=("block_queries", "span_rows"))
+@partial(jax.jit, static_argnames=("block_queries", "span_rows", "with_dst",
+                                   "unroll"))
 def nn1_radius_blocked(
     table: CellTable,
     queries: jax.Array,
     r,
     block_queries: int = 65536,
     span_rows: int = 131072,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    with_dst: bool = False,
+    unroll: bool = True,
+):
     """nn1_radius for large DENSE tables: queries MUST be (approximately)
     sorted by their dense cell id; processed in ``block_queries`` chunks
     against a ``span_rows`` table window. Semantics match nn1_radius
     (8-cell scheme, cell >= 2r); `truncated` additionally flags queries
     whose neighborhood fell outside the block's span (conservative — raise
-    span_rows or re-sort if it fires)."""
+    span_rows or re-sort if it fires).
+
+    ``with_dst`` additionally returns the WINNER'S COORDINATES [Q,3]
+    (read from the packed rows already in hand) so consumers skip the
+    ``tgt[idx]`` re-gather — the ICP estimation side's dominant cost at
+    1M points (measured ~13 ms/iter of its 26)."""
     if table.dims is None:
         raise ValueError("blocked path requires a dense-grid table")
     cx, cy, cz = table.dims
     R = table.table_size
     cap = table.cap
+    C4 = cap * 4
     span_rows = min(span_rows, R + 1)
     Q = queries.shape[0]
     nb = -(-Q // block_queries)
@@ -635,6 +708,39 @@ def nn1_radius_blocked(
     strides = jnp.asarray(
         [(i * cy + j) * cz + k for i in (0, 1) for j in (0, 1)
          for k in (0, 1)], jnp.int32)                      # [8]
+
+    # Everything below is shaped by a TPU profiler trace of the 1M
+    # configuration (20 iters, 93 ms/iter before):
+    #   - take_along_axis winner extraction cost 49 ms/iter (per-element
+    #     gathers) -> replaced by one-hot selection matmuls on the MXU;
+    #   - the query broadcast jnp.tile(q4, (1, S)) lowered through a
+    #     T(4,128)-tiled broadcast + copy, 11 ms/iter -> replaced by a
+    #     [B,4] @ [4,L] 0/1 matmul that lands directly in the right
+    #     layout;
+    #   - the 8-row span gather itself costs only ~13 ms/iter.
+    S = 8 * cap
+    L = 8 * C4
+    lane = jnp.arange(L, dtype=jnp.int32)
+    is_coord_l = (lane % 4 < 3).astype(jnp.float32)
+    is_idx_l = ((lane % 4) == 3).astype(jnp.float32)
+    # distance group-sum [L, S]: lane 4s+k (k<3) -> slot s
+    Gd = ((lane[:, None] // 4 == jnp.arange(S, dtype=jnp.int32)[None, :])
+          & (lane % 4 < 3)[:, None]).astype(jnp.float32)
+    # query broadcast projector [4, L]: q4[k] -> lane 4s+k
+    T4 = (jnp.arange(4, dtype=jnp.int32)[:, None]
+          == (lane % 4)[None, :]).astype(jnp.float32)
+    # penalty [8, S]: offset o -> its cap slots
+    Gp = (jnp.arange(S, dtype=jnp.int32)[None, :] // cap
+          == jnp.arange(8, dtype=jnp.int32)[:, None]).astype(jnp.float32)
+    # trunc accumulator [L, 8]: idx lane of offset o -> column o
+    Gt = ((lane[:, None] // C4 == jnp.arange(8, dtype=jnp.int32)[None, :])
+          & (lane % 4 == 3)[:, None]).astype(jnp.float32)
+    # slot -> its 4 lanes [S, L], and lane -> component [L, 4]
+    R4 = (jnp.arange(S, dtype=jnp.int32)[:, None]
+          == (lane // 4)[None, :]).astype(jnp.float32)
+    K4 = ((lane % 4)[:, None]
+          == jnp.arange(4, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    r2 = jnp.asarray(r, jnp.float32) ** 2
 
     def block(b):
         qb = jax.lax.dynamic_slice(
@@ -671,18 +777,44 @@ def nn1_radius_blocked(
         in_span = (local >= 0) & (local < span_rows)
         miss = bucket_ok & ~in_span & realq[:, None]       # real cell, not in span
         ok = bucket_ok & in_span
-        d2, rows = _span_sqdist(span, jnp.clip(local, 0, span_rows - 1),
-                                qb, ok)
-        r2 = jnp.asarray(r, jnp.float32) ** 2
+        B = block_queries
+        rows = span[jnp.clip(local, 0, span_rows - 1)].reshape(B, L)
+        q4 = jnp.concatenate([qb, jnp.zeros_like(qb[:, :1])], axis=1)
+        qbl = jnp.dot(q4, T4, preferred_element_type=jnp.float32)   # [B,L]
+        diff = jnp.clip((rows - qbl) * is_coord_l[None, :], -1e15, 1e15)
+        pen = jnp.where(ok, 0.0, 1.0)
+        d2 = (jnp.dot(diff * diff, Gd, preferred_element_type=jnp.float32)
+              + jnp.dot(pen, Gp * 1e30, preferred_element_type=jnp.float32))
         d2 = jnp.where(d2 <= r2, d2, jnp.inf)
-        best = jnp.argmin(d2, axis=-1)
-        best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
-        best_idx = _slot_index(rows, best[:, None])[:, 0]
-        trunc = _rows_truncated(
-            jnp.where(jnp.repeat(ok, 4 * cap, axis=1), rows, 0.0))
-        trunc = trunc | jnp.any(miss, axis=1)
+        best_d2 = jnp.min(d2, axis=1)
+        # winner via first-match one-hot (ties broken to the lowest slot);
+        # queries with NO candidate have best_d2=inf -> eq matches every
+        # empty slot, sel picks slot 0 and the garbage winner is masked
+        # downstream by the d2=inf validity
+        eq = (d2 == best_d2[:, None])
+        sel = (eq & (jnp.cumsum(eq.astype(jnp.int32), axis=1) == 1)
+               ).astype(jnp.float32)                        # [B,S]
+        sel4 = jnp.dot(sel, R4, preferred_element_type=jnp.float32)  # [B,L]
+        win = jnp.dot(sel4 * rows, K4,
+                      preferred_element_type=jnp.float32)   # [B,4]
+        best_idx = _decode_idx(win[:, 3])
+        # truncation: sign-encoded idx lanes summed per offset on the MXU
+        neg = jnp.minimum(rows, 0.0) * is_idx_l[None, :]
+        t8 = jnp.dot(neg, Gt, preferred_element_type=jnp.float32)    # [B,8]
+        trunc = jnp.any(ok & (t8 < 0.0), axis=1) | jnp.any(miss, axis=1)
+        if with_dst:
+            return best_idx, best_d2, trunc, win[:, :3]
         return best_idx, best_d2, trunc
 
-    idxs, d2s, truncs = jax.lax.map(block, jnp.arange(nb))
-    return (idxs.reshape(Qpad)[:Q], d2s.reshape(Qpad)[:Q],
-            truncs.reshape(Qpad)[:Q])
+    # fully unrolled over blocks: a lax.map loop re-stages the small
+    # index/mask constants every trip (profiler: ~30 ms/iter of
+    # latency-bound copy-starts against ~18 ms of real compute at 1M);
+    # straight-line blocks stage once and pipeline
+    if unroll:
+        outs = [block(jnp.int32(b)) for b in range(nb)]
+        outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    else:
+        outs = jax.lax.map(block, jnp.arange(nb))
+    flat = jax.tree.map(
+        lambda x: x.reshape((Qpad,) + x.shape[2:])[:Q], outs)
+    return flat
