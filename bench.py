@@ -141,10 +141,13 @@ def bench_gicp(n):
     def run():
         # cap 8 at lambda~0.96/cell (see bench_icp note); correspondence
         # grid dense like the ICP entry so hash birthday-merging cannot
-        # inflate overflow
+        # inflate overflow. Covariance neighborhoods use the hashed table
+        # (density radius is data-dependent): birthday merging there
+        # inflates bucket populations, so the cap carries extra headroom.
         return gicp(_cloud(src), _cloud(tgt), max_corr_dist=1.0,
                     max_iterations=ITERS, transformation_eps=0.0,
-                    cell_cap=8, corr_backend="cell", grid_dims=(53, 53, 53))
+                    cell_cap=8, corr_backend="cell", grid_dims=(53, 53, 53),
+                    cov_cell_cap=64)
 
     res = run()
     jax.block_until_ready(res.transform)
@@ -166,15 +169,18 @@ def bench_ate(n=20000, n_scans=5):
         make_drift_sequence, odometry_sequence, trajectory_ate)
 
     rng = np.random.default_rng(7)
-    xy = rng.uniform(-1, 1, size=(n // 2, 2)).astype(np.float32)
-    p1 = np.column_stack([xy, 0.1 * np.sin(3 * xy[:, 0])])
-    p2 = np.column_stack([xy[: n - n // 2, 0],
-                          1.0 + 0.1 * np.cos(3 * xy[: n - n // 2, 1]),
-                          xy[: n - n // 2, 1]])
-    scene = np.concatenate([p1, p2]).astype(np.float32)
+    # three non-parallel sheets + blob: full 6-DoF constraint
+    # (tests/test_trajectory.py's _scene)
+    third = n // 3
+    a = rng.uniform(-1, 1, size=(third, 2)).astype(np.float32)
+    p1 = np.c_[a[:, 0], a[:, 1], 0.05 * np.sin(3 * a[:, 0])]
+    p2 = np.c_[a[:, 0], -1 + 0.05 * np.sin(3 * a[:, 1]), a[:, 1]]
+    p3 = np.c_[1 + 0.05 * np.cos(3 * a[:, 1]), a[:, 0], a[:, 1]]
+    blob = rng.normal(scale=0.2, size=(n - 3 * third, 3)) + [0.3, 0.3, 0.5]
+    scene = np.concatenate([p1, p2, p3, blob]).astype(np.float32)
     scans, golden = make_drift_sequence(scene, n_scans, rng,
-                                        step_translation=0.05,
-                                        step_rotation=0.05)
+                                        step_translation=0.03,
+                                        step_rotation=0.03)
     clouds = [Cloud(xyz=jnp.asarray(s), mask=jnp.ones(len(s), bool))
               for s in scans]
     poses = odometry_sequence(clouds, max_corr_dist=0.5, max_iterations=30)

@@ -146,6 +146,37 @@ class OutofcoreOctree:
             return from_numpy(np.zeros((0, 3), np.float32))
         return from_numpy(np.concatenate(clouds))
 
+    def query_frustum(self, planes: np.ndarray,
+                      lod: Optional[int] = None) -> Cloud:
+        """All points (at the chosen LOD) inside a convex frustum given as
+        [P,4] inward-facing plane coefficients (n·x + d >= 0 inside) —
+        the queryFrustum path of the reference's disk octree
+        (outofcore/include/pcl/outofcore/octree_base.h:150 family).
+        Nodes are culled when their cube is entirely outside any plane."""
+        m = self.meta
+        top = m["cell_size"] * (1 << m["split_depth"])
+        org = np.asarray(m["origin"])
+        planes = np.asarray(planes, np.float64)
+        clouds = []
+        for key in self.node_keys():
+            cell = self._demorton(key)
+            lo = org + cell * top
+            hi = lo + top
+            corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                                for y in (lo[1], hi[1])
+                                for z in (lo[2], hi[2])])
+            d = corners @ planes[:, :3].T + planes[None, :, 3]
+            if (d < 0).all(axis=0).any():   # all corners outside one plane
+                continue
+            c = self.read_node(key, lod)
+            xyz, _ = to_numpy(c)
+            inside = (xyz @ planes[:, :3].T + planes[None, :, 3] >= 0).all(axis=1)
+            if inside.any():
+                clouds.append(xyz[inside])
+        if not clouds:
+            return from_numpy(np.zeros((0, 3), np.float32))
+        return from_numpy(np.concatenate(clouds))
+
     @staticmethod
     def _demorton(key: int) -> np.ndarray:
         def compact(v):

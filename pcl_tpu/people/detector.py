@@ -141,10 +141,14 @@ class GroundBasedPeopleDetector:
             res = sac_segmentation(cloud, sac.PlaneModel(), 0.05, key=key)
             above = cloud.with_mask(~res.inliers)
             coeffs = np.asarray(res.coefficients, np.float64)
+            coeffs = coeffs / max(np.linalg.norm(coeffs[:3]), 1e-12)
         n = coeffs[:3]
-        # orient the normal so heights above ground are positive: the
-        # camera (origin) is above the floor
-        if 0.0 * n[0] + coeffs[3] < 0:
+        # orient the normal so the scene's off-plane points sit at POSITIVE
+        # height (works both when the camera is above the floor and when
+        # the plane passes near the origin)
+        xyz_all = np.asarray(cloud.xyz)
+        off = xyz_all[np.asarray(above.mask)]
+        if len(off) and np.median(off @ n + coeffs[3]) < 0:
             n = -n
             coeffs = -coeffs
         # 2. euclidean clustering of the remainder

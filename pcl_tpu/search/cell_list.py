@@ -679,7 +679,7 @@ def nn1_radius_blocked(
     block_queries: int = 65536,
     span_rows: int = 131072,
     with_dst: bool = False,
-    unroll: bool = True,
+    unroll: bool = False,
 ):
     """nn1_radius for large DENSE tables: queries MUST be (approximately)
     sorted by their dense cell id; processed in ``block_queries`` chunks
@@ -806,10 +806,9 @@ def nn1_radius_blocked(
             return best_idx, best_d2, trunc, win[:, :3]
         return best_idx, best_d2, trunc
 
-    # fully unrolled over blocks: a lax.map loop re-stages the small
-    # index/mask constants every trip (profiler: ~30 ms/iter of
-    # latency-bound copy-starts against ~18 ms of real compute at 1M);
-    # straight-line blocks stage once and pipeline
+    # ``unroll`` replaces the lax.map block loop with straight-line code —
+    # measured equal at 1M (53.6 vs 50.6 ms/iter; the loop's per-trip
+    # constant staging overlaps with compute after all), kept as an option
     if unroll:
         outs = [block(jnp.int32(b)) for b in range(nb)]
         outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)

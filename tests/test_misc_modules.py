@@ -27,10 +27,15 @@ class TestPeopleDetector:
         # ground plane + a 1.7m-tall blob + a small object
         g = np.stack([rng.uniform(0, 5, 2000), rng.uniform(0, 5, 2000),
                       rng.normal(scale=0.01, size=2000)], 1)
+        # tapered person: narrow at the top like a head, so head-based
+        # subclustering (which splits flat-topped blobs, correctly) keeps
+        # it as ONE candidate
+        z = rng.uniform(0.05, 1.7, 400)
+        spread = 0.15 * (1.0 - 0.55 * z / 1.7)
         person = np.stack([
-            2.0 + rng.normal(scale=0.15, size=400),
-            2.0 + rng.normal(scale=0.15, size=400),
-            rng.uniform(0.05, 1.7, 400),
+            2.0 + rng.normal(size=400) * spread,
+            2.0 + rng.normal(size=400) * spread,
+            z,
         ], 1)
         box = np.stack([
             4.0 + rng.normal(scale=0.1, size=100),
@@ -85,3 +90,39 @@ class TestOutofcore:
         lod = store.query_box([0, 0, 0], [8, 8, 8], lod=2)
         xl, _ = to_numpy(lod)
         assert 0 < len(xl) < 3000
+        # every LOD point is a real stored point (oracle: set membership)
+        allpts = np.concatenate([a, b])
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(allpts).query(xl)
+        assert d.max() == 0.0
+
+    def test_frustum_query_oracle(self, tmp_path, rng):
+        from pcl_tpu.outofcore import OutofcoreOctree
+        store = OutofcoreOctree.create(str(tmp_path / "oc"), cell_size=0.25,
+                                       split_depth=2, lod_points=16)
+        pts = rng.uniform(0, 8, size=(3000, 3)).astype(np.float32)
+        store.add_cloud(from_numpy(pts))
+        # axis-aligned frustum (a box expressed as 6 inward planes) so the
+        # numpy oracle is exact
+        planes = np.array([
+            [1, 0, 0, -2], [-1, 0, 0, 6],     # 2 <= x <= 6
+            [0, 1, 0, -1], [0, -1, 0, 5],     # 1 <= y <= 5
+            [0, 0, 1, -3], [0, 0, -1, 7],     # 3 <= z <= 7
+        ], np.float64)
+        out = store.query_frustum(planes)
+        xyz, _ = to_numpy(out)
+        inside = ((pts @ planes[:, :3].T + planes[None, :, 3]) >= 0).all(axis=1)
+        assert len(xyz) == inside.sum()
+        # and a genuinely oblique frustum stays consistent with the
+        # per-point oracle
+        oblq = np.array([[1, 1, 0, -5], [-1, 0, 1, 2]], np.float64)
+        out2 = store.query_frustum(oblq)
+        x2, _ = to_numpy(out2)
+        ins2 = ((pts @ oblq[:, :3].T + oblq[None, :, 3]) >= 0).all(axis=1)
+        assert len(x2) == ins2.sum()
+        # LOD frustum query returns a subset of real points
+        lodc = store.query_frustum(planes, lod=2)
+        xl, _ = to_numpy(lodc)
+        if len(xl):
+            from scipy.spatial import cKDTree
+            assert cKDTree(pts).query(xl)[0].max() == 0.0
