@@ -183,7 +183,10 @@ def bench_ate(n=20000, n_scans=5):
                                         step_rotation=0.03)
     clouds = [Cloud(xyz=jnp.asarray(s), mask=jnp.ones(len(s), bool))
               for s in scans]
-    poses = odometry_sequence(clouds, max_corr_dist=0.5, max_iterations=30)
+    # brute correspondences: at 20k points the MXU brute sweep is both
+    # faster and exact; the scene is far too dense for r-sized buckets
+    poses = odometry_sequence(clouds, max_corr_dist=0.25, max_iterations=40,
+                              corr_backend="bruteforce")
     return trajectory_ate(poses, golden, align=False).rmse
 
 

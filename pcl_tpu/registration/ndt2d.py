@@ -33,15 +33,13 @@ from pcl_tpu.core.cloud import Cloud
 
 
 def _hash2(cc: jax.Array, table_size: int) -> jax.Array:
-    """[..., 2] int32 cell coords -> hash bucket (same avalanche-mixed
-    scheme as the 3-D cell list, two primes)."""
-    h = (cc[..., 0] * jnp.int32(73856093)
-         ^ cc[..., 1] * jnp.int32(19349663)).astype(jnp.uint32)
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x7FEB352D)
-    h = h ^ (h >> 15)
-    h = h * jnp.uint32(0x846CA68B)
-    h = h ^ (h >> 16)
+    """[..., 2] int32 cell coords -> hash bucket (per-coordinate avalanche
+    then xor — the 2-D form of the 3-D cell list's scheme; pre-mix
+    xor-of-prime-multiples collides structurally on consecutive grids,
+    see search/cell_list.py:_hash)."""
+    from pcl_tpu.search.cell_list import _mix32
+    h = (_mix32(cc[..., 0].astype(jnp.uint32))
+         ^ _mix32(cc[..., 1].astype(jnp.uint32) + jnp.uint32(0x9E3779B9)))
     return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 

@@ -47,20 +47,29 @@ def _cell_coords(xyz: jax.Array, cell_size) -> jax.Array:
     return jnp.floor(xyz / cell_size).astype(jnp.int32)
 
 
+def _mix32(v: jax.Array) -> jax.Array:
+    """32-bit avalanche (murmur3-finalizer constants)."""
+    v = v ^ (v >> 16)
+    v = v * jnp.uint32(0x7FEB352D)
+    v = v ^ (v >> 15)
+    v = v * jnp.uint32(0x846CA68B)
+    v = v ^ (v >> 16)
+    return v
+
+
 def _hash(coords: jax.Array, table_size: int) -> jax.Array:
-    # prime-multiply XOR plus a murmur3-style avalanche. The bare
-    # ``abs(x*P1 ^ y*P2 ^ z*P3) % 2^k`` variant folds sign-symmetric cells
-    # together and keeps only low-bit structure — measured ~10 distinct
-    # cells merging into one bucket on a [-1,1]^3 cloud (pop 58 at lambda
-    # ~6), silently truncating radius counts. The finalizer mixes high
-    # bits into the index.
-    h = ((coords[..., 0] * _P1) ^ (coords[..., 1] * _P2)
-         ^ (coords[..., 2] * _P3)).astype(jnp.uint32)
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x7FEB352D)
-    h = h ^ (h >> 15)
-    h = h * jnp.uint32(0x846CA68B)
-    h = h ^ (h >> 16)
+    # per-coordinate avalanche THEN xor. The previous scheme xor-combined
+    # prime MULTIPLES of the raw coordinates before one avalanche — the
+    # pre-mix itself collides structurally on consecutive-coordinate grids
+    # (measured: 5561 merged cells on a 24^3 grid into 2^17 buckets, 7.6x
+    # the uniform-hash expectation of 729; the finalizer cannot separate
+    # values that collided before it). Mixing each coordinate
+    # independently first measures 786 merges — ideal. Salts decorrelate
+    # the three axes (plain xor of identical mixes would cancel on
+    # permuted coords).
+    h = (_mix32(coords[..., 0].astype(jnp.uint32))
+         ^ _mix32(coords[..., 1].astype(jnp.uint32) + jnp.uint32(0x9E3779B9))
+         ^ _mix32(coords[..., 2].astype(jnp.uint32) + jnp.uint32(0x85EBCA6B)))
     return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 
