@@ -178,9 +178,12 @@ def bench_ate(n=20000, n_scans=5):
     p3 = np.c_[1 + 0.05 * np.cos(3 * a[:, 1]), a[:, 0], a[:, 1]]
     blob = rng.normal(scale=0.2, size=(n - 3 * third, 3)) + [0.3, 0.3, 0.5]
     scene = np.concatenate([p1, p2, p3, blob]).astype(np.float32)
+    # 2 mm sensor noise so the tracked number is the odometry's real
+    # noise floor, not an exact-fixture zero
     scans, golden = make_drift_sequence(scene, n_scans, rng,
                                         step_translation=0.03,
-                                        step_rotation=0.03)
+                                        step_rotation=0.03,
+                                        noise=0.002)
     clouds = [Cloud(xyz=jnp.asarray(s), mask=jnp.ones(len(s), bool))
               for s in scans]
     # brute correspondences: at 20k points the MXU brute sweep is both

@@ -40,3 +40,11 @@ from pcl_tpu.surface.mesh_smoothing import (
     decimate_cluster,
     boundary_vertices,
 )
+from pcl_tpu.surface.bspline import (
+    BSplineSurface,
+    BSplineCurve2D,
+    fit_bspline_surface,
+    eval_bspline_surface,
+    fit_bspline_curve2d,
+    eval_bspline_curve2d,
+)
