@@ -250,6 +250,11 @@ def main():
         if "icp_iters_per_sec_1m" in cpu and "icp_iters_per_sec_1m" in extra:
             extra["vs_baseline_1m"] = round(
                 extra["icp_iters_per_sec_1m"] / cpu["icp_iters_per_sec_1m"], 2)
+        if "knn16_queries_per_sec_120k" in cpu \
+                and "knn16_queries_per_sec_120k" in extra:
+            extra["vs_baseline_knn16"] = round(
+                extra["knn16_queries_per_sec_120k"]
+                / cpu["knn16_queries_per_sec_120k"], 2)
     except Exception:  # noqa: BLE001
         pass
     with open(os.path.join(os.path.dirname(__file__), "BENCH_EXTRA.json"), "w") as f:

@@ -216,6 +216,16 @@ def main():
     out["sac_cylinder_ms_table"] = round(_time_ms(
         lambda: bm_sac_cylinder(table, table_n), label="sac_cylinder"), 3)
 
+    # kNN16 at 120k (the north-star kNN metric's CPU side)
+    rng = np.random.default_rng(0)
+    tgt = rng.uniform(-50, 50, size=(120_000, 3)).astype(np.float32)
+    srcq = tgt + rng.normal(scale=0.05, size=tgt.shape).astype(np.float32)
+    tree = cKDTree(tgt)
+    t0 = time.perf_counter()
+    tree.query(srcq, k=16, workers=1)
+    out["knn16_queries_per_sec_120k"] = round(
+        120_000 / (time.perf_counter() - t0))
+
     n_big = 200_000 if quick else 1_000_000
     ips, build_s = icp_iters_per_sec(n_big)
     out[f"icp_iters_per_sec_{'200k' if quick else '1m'}"] = round(ips, 3)

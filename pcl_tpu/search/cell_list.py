@@ -206,8 +206,13 @@ def build(
         jnp.where((mask[order] & keep)[:, None], xyz[order], _BIG),
         idx_f[:, None],
     ], axis=1)                                              # [n, 4]
-    tbl = jnp.full(((table_size + 1) * cap, 4), _BIG, jnp.float32)
-    tbl = tbl.at[slot].set(rows, mode="drop")
+    # FLAT 1-D scatter: a [(ts+1)*cap, 4] intermediate pads its 4 lanes to
+    # 128 — 32x transient HBM (17 GB at cap=256, OOMing the radius-outlier
+    # self-tuning path); the 1-D layout is exact-sized
+    tbl = jnp.full(((table_size + 1) * cap * 4,), _BIG, jnp.float32)
+    flat_idx = (slot[:, None] * 4
+                + jnp.arange(4, dtype=slot.dtype)[None, :]).reshape(-1)
+    tbl = tbl.at[flat_idx].set(rows.reshape(-1), mode="drop")
     return CellTable(
         cell_size=cell_size,
         table_size=table_size,
@@ -258,7 +263,9 @@ def _packed_sqdist(table: CellTable, buckets: jax.Array, queries: jax.Array):
     a 42x memory blowup that made the distance math dominate the ICP
     iteration (measured 16 of 20.6 ms at 120k). Instead the packed rows stay
     in lane space: elementwise diff on [Q, S*4], then ONE [S*4, S] matmul on
-    the MXU sums each (x,y,z) lane triple into its slot's d^2.
+    the MXU sums each (x,y,z) lane triple into its slot's d^2. The query
+    broadcast is ALSO a matmul ([Q,4] @ [4,L]): jnp.tile lowered through a
+    (4,128)-tiled broadcast+copy (profiled 11 ms/iter at 1M).
 
     Returns (d2 [Q,S], cand_idx [Q,S] f32) with S = O * cap.
     """
@@ -270,9 +277,11 @@ def _packed_sqdist(table: CellTable, buckets: jax.Array, queries: jax.Array):
     # lane constants (constant-folded): coordinate lanes 4j+k, k<3
     lane = jnp.arange(L, dtype=jnp.int32)
     is_coord = (lane % 4 < 3).astype(jnp.float32)         # [L]
-    # query broadcast pattern: lane 4j+k holds q_k (k<3), 0 at idx lanes
+    # query broadcast: lane 4j+k holds q_k (k<3), 0 at idx lanes
+    T4 = (jnp.arange(4, dtype=jnp.int32)[:, None]
+          == (lane % 4)[None, :]).astype(jnp.float32)     # [4, L]
     q4 = jnp.concatenate([queries, jnp.zeros_like(queries[:, :1])], axis=1)
-    qb = jnp.tile(q4, (1, S))                             # [Q, L]
+    qb = jnp.dot(q4, T4, preferred_element_type=jnp.float32)  # [Q, L]
     diff = (rows - qb) * is_coord
     # clamp: empty slots carry x=y=z=_BIG; diff^2 would overflow to inf and
     # poison the matmul (0 * inf = NaN). 1e15^2 * 3 = 3e30 stays finite and
@@ -304,12 +313,16 @@ def _slot_index(rows: jax.Array, slot: jax.Array) -> jax.Array:
 def _rows_truncated(rows: jax.Array) -> jax.Array:
     """Per-query truncation flag from the packed rows themselves: any
     gathered slot carrying a sign-encoded index means its bucket overflowed.
-    Elementwise + one row-reduce over data already in registers — replaces
-    the count[buckets] scalar gather (measured 7 ms/iter at 120k)."""
+    One [L,1] matmul over min(rows, 0): the 0/1 column selects idx lanes
+    (their negative parts sum < 0 iff any is negative) — replaces both the
+    count[buckets] scalar gather (7 ms/iter at 120k) and a masked [Q,L]
+    where+min pass."""
     L = rows.shape[1]
     lane = jnp.arange(L, dtype=jnp.int32)
-    is_idx = (lane % 4) == 3
-    return jnp.min(jnp.where(is_idx[None, :], rows, 0.0), axis=1) < 0.0
+    sel = ((lane % 4) == 3).astype(jnp.float32)[:, None]   # [L,1]
+    t = jnp.dot(jnp.minimum(rows, 0.0), sel,
+                preferred_element_type=jnp.float32)
+    return t[:, 0] < 0.0
 
 
 @partial(jax.jit, static_argnames=("compact", "with_dst"))
@@ -360,12 +373,18 @@ def nn1_radius(
 
 def _dedup_mask(table: CellTable, queries: jax.Array, buckets: jax.Array):
     """Mask duplicate buckets among an offset set (hash collisions between
-    offsets would duplicate candidates in k>1 lists)."""
+    offsets would duplicate candidates in k>1 lists). The offset->slot
+    expansion is a [O, O*cap] 0/1 matmul (jnp.repeat along lanes lowers to
+    an expensive relayout)."""
     O = buckets.shape[1]
+    cap = table.cap
     dup = jnp.zeros(buckets.shape, bool)
     for i in range(1, O):
         dup = dup.at[:, i].set((buckets[:, :i] == buckets[:, i : i + 1]).any(axis=1))
-    return jnp.repeat(dup, table.cap, axis=-1)
+    Gp = (jnp.arange(O * cap, dtype=jnp.int32)[None, :] // cap
+          == jnp.arange(O, dtype=jnp.int32)[:, None]).astype(jnp.float32)
+    return jnp.dot(dup.astype(jnp.float32), Gp,
+                   preferred_element_type=jnp.float32) > 0.5
 
 
 @partial(jax.jit, static_argnames=("k",))

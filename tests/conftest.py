@@ -61,6 +61,13 @@ _SLOW_TESTS = {
     "test_trajectory.py::TestSyntheticDriftOdometry::test_icp_odometry_recovers_trajectory",
     "test_trajectory.py::TestSyntheticDriftOdometry::test_gicp_odometry_with_noise",
     "test_trajectory.py::TestBunnySequenceATE::test_bun_sequence",
+    "test_people_five.py::TestFivePeople::test_detects_five_people",
+    "test_people_five.py::TestFivePeople::test_classifier_discriminates",
+    "test_parallel.py::TestShardedGICP::test_matches_single_device",
+    "test_search.py::TestUnifiedCellBackend::test_chunked_equals_single_block",
+    "test_precision_registration.py::TestGICP6D::test_color_disambiguates",
+    "test_parallel.py::TestShardedTSDF::test_raycast_matches_replicated",
+    "test_search.py::TestUnifiedCellBackend::test_outlier_decisions_match_brute",
     "test_parallel.py::TestShardedICP::test_point_to_plane_sharded",
     "test_filters_extra.py::TestTracking::test_tracks_moving_object",
     "test_search.py::TestCellList::test_knn_radius_matches_brute",
