@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pcl_tpu.core.cloud import Cloud
 from pcl_tpu.search import bruteforce
@@ -69,15 +70,19 @@ def radius_outlier_removal(
 ) -> Cloud:
     """Drop points with fewer than min_neighbors others within radius.
 
-    Large clouds use the count-only cell-list sweep
-    (``cell_list.radius_count``) with a self-tuning bucket cap: if any
-    probed bucket overflows (undercount -> points wrongly dropped), the
-    table is rebuilt with twice the cap until the count is exact — dense
-    organized clouds (e.g. the 209k table scene at r=0.02, ~220 neighbors
-    per point) need cap ~128 where the default generic path truncated at
-    32 AND cost ~5 s (MICROBENCH r02). ``cell_cap`` pins the cap
-    explicitly (no retry loop)."""
+    Large clouds run TWO phases: a capped cell-list count
+    (``cell_list.radius_count``) decides every point whose buckets did not
+    overflow OR whose (under)count already clears the threshold; the few
+    AMBIGUOUS points (overflowing buckets AND capped count below
+    threshold) are resolved exactly by a brute-force count. The capped
+    count only UNDERcounts, so count >= threshold is decisive — on the
+    reference's radius-outlier fixture (209k organized cloud, ~220
+    neighbors per point at r=0.02) virtually every point clears the
+    threshold from the capped sweep and the brute phase is empty. (A
+    self-tuning cap-doubling retry costs a rebuild + full recount + XLA
+    recompile per escalation — measured 18.7 s on that fixture.)"""
     from pcl_tpu import search as search_mod
+    from pcl_tpu.search import bruteforce as bf
     from pcl_tpu.search import cell_list, _map_blocks
 
     n = cloud.capacity
@@ -85,19 +90,30 @@ def radius_outlier_removal(
     if not use_cells:
         _, _, _, count = search_mod.radius_search(
             cloud, cloud.xyz, radius, 1, backend="bruteforce")
+        keep = (count - 1) >= min_neighbors  # subtract self
     else:
         cap = cell_cap or 64
-        while True:
-            table = cell_list.build(cloud.xyz, cloud.mask, jnp.float32(radius),
-                                    table_size=table_size, cap=cap)
-            count, trunc = _map_blocks(
-                lambda q: cell_list.radius_count(table, q, radius),
-                cloud.xyz, slots=8 * cap)
-            if cell_cap is not None or cap >= 1024 or \
-                    not bool(jnp.any(trunc & cloud.mask)):
-                break
-            cap *= 2
-    keep = (count - 1) >= min_neighbors  # subtract self
+        table = cell_list.build(cloud.xyz, cloud.mask, jnp.float32(radius),
+                                table_size=table_size, cap=cap)
+        count, trunc = _map_blocks(
+            lambda q: cell_list.radius_count(table, q, radius),
+            cloud.xyz, slots=8 * cap)
+        keep = (count - 1) >= min_neighbors
+        ambiguous = np.asarray(trunc & ~keep & cloud.mask)
+        if ambiguous.any():
+            xyz_np = np.asarray(cloud.xyz)
+            amb_idx = np.nonzero(ambiguous)[0]
+            # fixed-size chunks so the brute kernel compiles once
+            chunk = 4096
+            keep_np = np.array(keep)
+            for s in range(0, len(amb_idx), chunk):
+                sel = amb_idx[s:s + chunk]
+                q = np.full((chunk, 3), 1e30, np.float32)
+                q[: len(sel)] = xyz_np[sel]
+                _, _, _, cnt = bf.radius(cloud.xyz, cloud.mask,
+                                         jnp.asarray(q), radius, 1)
+                keep_np[sel] = (np.asarray(cnt)[: len(sel)] - 1) >= min_neighbors
+            keep = jnp.asarray(keep_np)
     if negative:
         keep = ~keep
     return cloud.with_mask(keep)

@@ -59,10 +59,14 @@ def voxel_downsample(cloud: Cloud, leaf_size, average_attrs: bool = True) -> Clo
     """
     n = cloud.capacity
     order, seg_id, first = _sorted_cell_segments(cloud.xyz, cloud.mask, leaf_size)
-    m = cloud.mask[order].astype(jnp.float32)
-    xyz_s = cloud.xyz[order] * m[:, None]
-    sums = jax.ops.segment_sum(xyz_s, seg_id, num_segments=n)
-    counts = jax.ops.segment_sum(m, seg_id, num_segments=n)
+    # back-permute the segment ids to ORIGINAL point order: one [N] i32
+    # scatter replaces a [N,3] gather per summed array (xyz + every attr —
+    # gathers in the (4,128)-tiled layouts XLA picks here profiled at only
+    # ~25 M rows/s)
+    seg_orig = jnp.zeros((n,), jnp.int32).at[order].set(seg_id)
+    m = cloud.mask.astype(jnp.float32)
+    sums = jax.ops.segment_sum(cloud.xyz * m[:, None], seg_orig, num_segments=n)
+    counts = jax.ops.segment_sum(m, seg_orig, num_segments=n)
     n_voxels = jnp.sum(first.astype(jnp.int32))
     lane = jnp.arange(n, dtype=jnp.int32)
     out_mask = lane < n_voxels
@@ -71,9 +75,9 @@ def voxel_downsample(cloud: Cloud, leaf_size, average_attrs: bool = True) -> Clo
     attrs = {}
     if average_attrs:
         for k, v in cloud.attrs.items():
-            vs = v[order].astype(jnp.float32)
+            vs = v.astype(jnp.float32)
             mm = m.reshape((-1,) + (1,) * (vs.ndim - 1))
-            s = jax.ops.segment_sum(vs * mm, seg_id, num_segments=n)
+            s = jax.ops.segment_sum(vs * mm, seg_orig, num_segments=n)
             a = s / jnp.maximum(counts, 1.0).reshape((-1,) + (1,) * (vs.ndim - 1))
             om = out_mask.reshape((-1,) + (1,) * (vs.ndim - 1))
             attrs[k] = jnp.where(om, a, 0.0).astype(
