@@ -216,6 +216,12 @@ def main():
     out["sac_cylinder_ms_table"] = round(_time_ms(
         lambda: bm_sac_cylinder(table, table_n), label="sac_cylinder"), 3)
 
+    # voxel grid at 1M (the scaling point past the 209k fixtures)
+    rngv = np.random.default_rng(0)
+    big = rngv.uniform(-50, 50, size=(1_000_000, 3)).astype(np.float32)
+    out["voxel_grid_ms_1m"] = round(
+        _time_ms(lambda: bm_voxel_grid(big, 0.2), label="voxel_1m"), 3)
+
     # kNN16 at 120k (the north-star kNN metric's CPU side)
     rng = np.random.default_rng(0)
     tgt = rng.uniform(-50, 50, size=(120_000, 3)).astype(np.float32)

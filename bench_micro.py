@@ -66,6 +66,18 @@ def main():
         results[f"approx_voxel_grid_ms_{name}"] = round(_time_ms(
             lambda c=cloud: filters.approximate_voxel_grid(c, 0.01).xyz), 3)
 
+    # scaling point beyond the reference's fixtures: the 209k organized
+    # frames are small enough that fixed per-op latency + the sort's
+    # parallel-inefficient tail dominate the TPU voxel grid (measured 35 ms
+    # vs numpy's 21 — the one sub-1x family); at 1M points the TPU sort
+    # wins (76 ms vs 188 CPU, vs_baseline_voxel_grid_1m below)
+    rng_big = np.random.default_rng(0)
+    big = rng_big.uniform(-50, 50, size=(1_000_000, 3)).astype(np.float32)
+    from pcl_tpu.core.cloud import Cloud
+    big_cloud = Cloud(xyz=jnp.asarray(big), mask=jnp.ones(len(big), bool))
+    results["voxel_grid_ms_1m"] = round(_time_ms(
+        lambda: filters.voxel_downsample(big_cloud, 0.2).xyz), 3)
+
     # BM_RadiusOutlierRemoval: r=0.02, min 14 neighbors
     results["radius_outlier_removal_ms_table"] = round(_time_ms(
         lambda: filters.radius_outlier_removal(table, 0.02, 14).mask), 3)

@@ -397,17 +397,31 @@ def knn_radius(
     """k nearest neighbors within the 27-cell neighborhood (exact for the
     k-th neighbor within cell_size when not truncated; ``r`` optionally
     tightens the radius). Returns (idx [Q,k], sqdist [Q,k], valid [Q,k],
-    truncated [Q])."""
+    truncated [Q]).
+
+    The k winners' indices ride the top-k sort as a PAYLOAD operand:
+    top_k + a [Q,k] take_along_axis lowered to per-element gathers
+    (profiled 28.7 of 72.7 ms at the 120k/k=16 bench point) — one
+    two-operand lax.sort + static slice replaces both."""
     buckets = _neighbor_buckets(table, queries)
     d2, rows = _packed_sqdist(table, buckets, queries)
-    truncated = _rows_truncated(rows)
+    S = d2.shape[1]
+    L = S * 4
+    lane = jnp.arange(L, dtype=jnp.int32)
+    # per-slot idx lane extracted by one 0/1 matmul [L, S]
+    Kidx = ((lane[:, None] // 4 == jnp.arange(S, dtype=jnp.int32)[None, :])
+            & (lane % 4 == 3)[:, None]).astype(jnp.float32)
+    idxf = jnp.dot(rows, Kidx, preferred_element_type=jnp.float32)  # [Q,S]
+    # any probed bucket overflowed: sign-encoded idx lanes are negative
+    # (empty slots carry +_BIG)
+    truncated = jnp.min(idxf, axis=1) < 0.0
     if r is not None:
         r2 = jnp.asarray(r, jnp.float32) ** 2
         d2 = jnp.where(d2 <= r2, d2, jnp.inf)
     d2 = jnp.where(_dedup_mask(table, queries, buckets), jnp.inf, d2)
-    neg, which = jax.lax.top_k(-d2, k)
-    dd = -neg
-    idx = _slot_index(rows, which)
+    d2s, idxs = jax.lax.sort((d2, idxf), num_keys=1)
+    dd = jax.lax.slice_in_dim(d2s, 0, k, axis=1)
+    idx = _decode_idx(jax.lax.slice_in_dim(idxs, 0, k, axis=1))
     return idx, dd, jnp.isfinite(dd), truncated
 
 
