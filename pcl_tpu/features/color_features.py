@@ -70,14 +70,15 @@ def estimate_pfhrgb(
     b1 = _bin_index(f1, -jnp.pi, jnp.pi, nr_subdiv)
     b2 = _bin_index(f2, -1.0, 1.0, nr_subdiv)
     b3 = _bin_index(f3, -1.0, 1.0, nr_subdiv)
-    geo = (b1 * nr_subdiv + b2) * nr_subdiv + b3
+    # reference bin layout (pfhrgb mirrors pfh.hpp's h_index order)
+    geo = b1 + nr_subdiv * (b2 + nr_subdiv * b3)
     nb = nr_subdiv**3
     flatw = (100.0 * w / npairs[:, None, None]).reshape(w.shape[0], -1)
     hist_geo = _soft_hist(geo.reshape(geo.shape[0], -1), flatw, nb)
 
     ratios = _color_ratios(cc[:, :, None, :], cc[:, None, :, :])  # [N,k,k,3]
     cb = [_bin_index(ratios[..., c], 0.0, 1.0, nr_subdiv) for c in range(3)]
-    col = (cb[0] * nr_subdiv + cb[1]) * nr_subdiv + cb[2]
+    col = cb[0] + nr_subdiv * (cb[1] + nr_subdiv * cb[2])
     hist_col = _soft_hist(col.reshape(col.shape[0], -1), flatw, nb)
 
     out = jnp.concatenate([hist_geo, hist_col], axis=1)

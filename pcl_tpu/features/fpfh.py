@@ -112,13 +112,14 @@ def fpfh_from_spfh(
     nbins: int = 11,
 ) -> jax.Array:
     """Distance-weighted neighbor SPFH sum, per-block renormalized to 100
-    (reference: fpfh.hpp:110 weightPointSPFHSignature; weight = 1/dist,
-    the query's own SPFH excluded via d==0)."""
+    (reference: fpfh.hpp:110 weightPointSPFHSignature; weight = 1 / d^2 —
+    the reference divides by the SQUARED kd-tree distance it gets from
+    nearestKSearch (verified against the bun0 golden histogram,
+    test_golden_features.py); the query's own SPFH excluded via d==0)."""
     n = spfh.shape[0]
     idx = jnp.clip(nbr_idx, 0, n - 1)
-    d = jnp.sqrt(jnp.maximum(nbr_d2, 0.0))
-    valid = nbr_valid & (d > 0.0)
-    wgt = jnp.where(valid, 1.0 / jnp.maximum(d, _EPS), 0.0)
+    valid = nbr_valid & (nbr_d2 > 0.0)
+    wgt = jnp.where(valid, 1.0 / jnp.maximum(nbr_d2, _EPS), 0.0)
     acc = jnp.einsum("nk,nkb->nb", wgt, spfh[idx])
     out = []
     for b in range(3):
@@ -200,7 +201,9 @@ def estimate_pfh(
     b1 = _bin_index(f1, -jnp.pi, jnp.pi, nr_subdiv)
     b2 = _bin_index(f2, -1.0, 1.0, nr_subdiv)
     b3 = _bin_index(f3, -1.0, 1.0, nr_subdiv)
-    joint = (b1 * nr_subdiv + b2) * nr_subdiv + b3      # [N,k,k]
+    # reference bin layout (impl/pfh.hpp h_index loop):
+    # h = f1_idx + nr * f2_idx + nr^2 * f3_idx
+    joint = b1 + nr_subdiv * (b2 + nr_subdiv * b3)      # [N,k,k]
     nb = nr_subdiv ** 3
     flatw = (100.0 * w / npairs[:, None, None]).reshape(w.shape[0], -1)
     hist = _soft_hist(joint.reshape(joint.shape[0], -1), flatw, nb)

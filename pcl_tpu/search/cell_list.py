@@ -303,13 +303,6 @@ def _decode_idx(raw: jax.Array) -> jax.Array:
     return jnp.where(raw < 0, -raw - 1.0, raw).astype(jnp.int32)
 
 
-def _slot_index(rows: jax.Array, slot: jax.Array) -> jax.Array:
-    """Original point index stored at packed lane 4*slot+3 (winners only —
-    extracting all idx lanes would re-create the bad [Q,S,4] layout)."""
-    flat = jnp.take_along_axis(rows, slot * 4 + 3, axis=1)
-    return _decode_idx(flat)
-
-
 def _rows_truncated(rows: jax.Array) -> jax.Array:
     """Per-query truncation flag from the packed rows themselves: any
     gathered slot carrying a sign-encoded index means its bucket overflowed.

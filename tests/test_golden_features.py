@@ -1,0 +1,77 @@
+"""Feature golden-value parity against the reference's own asserts
+(reference: test/features/test_pfh_estimation.cpp — bun0.pcd ships with
+normals+curvature, so the goldens pin our math with no estimation slack)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import reference_pcd
+from pcl_tpu.io import pcd as pcd_io
+from pcl_tpu.features.fpfh import pair_features, estimate_fpfh, _bin_index
+
+
+@pytest.fixture(scope="module")
+def bun0():
+    c = pcd_io.load(reference_pcd("bun0.pcd"))
+    assert "normal" in c.attrs
+    return c
+
+
+class TestPairFeatures:
+    def test_golden_pair_0_12(self, bun0):
+        """reference test_pfh_estimation.cpp:164-169."""
+        xyz = np.asarray(bun0.xyz)
+        nrm = np.asarray(bun0.attrs["normal"])
+        f1, f2, f3, f4, ok = pair_features(
+            jnp.asarray(xyz[0]), jnp.asarray(nrm[0]),
+            jnp.asarray(xyz[12]), jnp.asarray(nrm[12]))
+        assert bool(ok)
+        assert abs(float(f1) - (-0.072575)) < 1e-4
+        assert abs(float(f2) - (-0.040221)) < 1e-4
+        assert abs(float(f3) - 0.068133) < 1e-4
+        assert abs(float(f4) - 0.006130) < 1e-4
+
+
+GOLDEN_PFH27 = np.array([
+    0.932506, 2.32429, 0.357477, 0.848541, 3.65565, 0.178104,
+    1.45284, 3.60666, 0.298959, 0.295143, 2.13474, 0.41218,
+    0.165382, 8.97407, 0.306592, 0.455432, 4.5977, 0.393097,
+    7.54668, 6.78336, 1.63858, 9.93842, 18.4947, 1.96553,
+    8.04793, 11.2793, 2.91714])
+
+
+class TestPFHSignature:
+    def test_golden_histogram_27(self, bun0):
+        """computePointPFHSignature over ALL 397 points, nr_subdiv=3
+        (reference test_pfh_estimation.cpp:171-203): all unordered pairs,
+        reference bin layout h = b1 + 3*b2 + 9*b3, hist_incr =
+        100/(n*(n-1)/2)."""
+        xyz = jnp.asarray(np.asarray(bun0.xyz))
+        nrm = jnp.asarray(np.asarray(bun0.attrs["normal"]))
+        n = xyz.shape[0]
+        f1, f2, f3, f4, ok = pair_features(
+            xyz[:, None, :], nrm[:, None, :], xyz[None, :, :], nrm[None, :, :])
+        iu = np.triu(np.ones((n, n), bool), 1)
+        w = (np.asarray(ok) & iu).astype(np.float64)
+        b1 = np.asarray(_bin_index(f1, -np.pi, np.pi, 3))
+        b2 = np.asarray(_bin_index(f2, -1.0, 1.0, 3))
+        b3 = np.asarray(_bin_index(f3, -1.0, 1.0, 3))
+        joint = b1 + 3 * (b2 + 3 * b3)
+        hist = np.bincount(joint[iu][w[iu] > 0], minlength=27).astype(np.float64)
+        hist *= 100.0 / (n * (n - 1) / 2)
+        np.testing.assert_allclose(hist, GOLDEN_PFH27, atol=2.1e-2)
+
+
+GOLDEN_FPFH0 = np.array([
+    1.58591, 1.68365, 6.71, 23.0717, 33.3844, 20.4002, 7.31067,
+    1.02635, 0.48591, 1.47069, 2.87061, 1.78321, 4.30795, 7.05514,
+    9.37615, 17.963, 18.2801, 14.2766])
+
+
+class TestFPFHSignature:
+    def test_golden_point0(self, bun0):
+        """FPFH with k = all points, 11 bins (reference
+        test_pfh_estimation.cpp:404-421, first 18 of 33 golden values)."""
+        f = np.asarray(estimate_fpfh(bun0, k=int(bun0.capacity), nbins=11))
+        np.testing.assert_allclose(f[0, :18], GOLDEN_FPFH0, atol=2e-2)
