@@ -75,3 +75,45 @@ class TestFPFHSignature:
         test_pfh_estimation.cpp:404-421, first 18 of 33 golden values)."""
         f = np.asarray(estimate_fpfh(bun0, k=int(bun0.capacity), nbins=11))
         np.testing.assert_allclose(f[0, :18], GOLDEN_FPFH0, atol=2e-2)
+
+
+class TestNormalEstimationGolden:
+    def test_whole_cloud_plane_and_curvature(self, bun0):
+        """computePointNormal over all of bun0 (reference
+        test_normal_estimation.cpp:103-109)."""
+        from pcl_tpu.core import geometry
+        mu, cov, _ = geometry.mean_and_covariance(
+            np.asarray(bun0.xyz)[None], np.asarray(bun0.mask)[None])
+        lam, V = geometry.eigh33(cov)
+        nrm = np.abs(np.asarray(V)[0][:, 0])
+        lamn = np.asarray(lam)[0]
+        np.testing.assert_allclose(
+            nrm, [0.035592, 0.369596, 0.928511], atol=1e-4)
+        d = abs(float(np.dot(np.asarray(V)[0][:, 0], np.asarray(mu)[0])))
+        assert abs(d - 0.0622552) < 1e-4
+        assert abs(float(lamn[0] / lamn.sum()) - 0.0693136) < 1e-4
+
+
+class TestPrincipalCurvaturesGolden:
+    def test_probe_points(self, bun0):
+        """computePointPrincipalCurvatures with k=10 normals and the full
+        cloud as neighborhood (reference
+        test_curvatures_estimation.cpp:77-99)."""
+        from pcl_tpu import features
+        cn = features.estimate_normals(bun0, k=10)
+        pc1, pc2, dirs = features.principal_curvatures(
+            cn, k=int(bun0.capacity))
+        pc1, pc2, dirs = map(np.asarray, (pc1, pc2, dirs))
+        np.testing.assert_allclose(np.abs(dirs[0]),
+                                   [0.98509, 0.10714, 0.13462], atol=1e-4)
+        assert abs(pc1[0] - 0.2399742) < 1e-4
+        assert abs(pc2[0] - 0.1940024) < 1e-4
+        np.testing.assert_allclose(dirs[2], [0.98079, -0.04019, 0.19086],
+                                   atol=1e-4)
+        assert abs(pc1[2] - 0.2720749) < 1e-4
+        assert abs(pc2[2] - 0.1946498) < 1e-4
+        n = int(bun0.capacity)
+        np.testing.assert_allclose(dirs[n - 3],
+                                   [0.86725, -0.37599, 0.32635], atol=1e-4)
+        assert abs(pc1[n - 3] - 0.2590005) < 1e-4
+        assert abs(pc2[n - 3] - 0.1790695) < 1e-4
