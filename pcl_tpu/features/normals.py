@@ -59,9 +59,14 @@ def estimate_normals(
     surface: Optional[Cloud] = None,
     backend: str = "auto",
     cell_size: Optional[float] = None,
+    radius: Optional[float] = None,
 ) -> Cloud:
     """Attach 'normal' and 'curvature' attrs computed from k-NN neighborhoods.
 
+    ``radius`` gates the k-NN to a ball (the setRadiusSearch analog —
+    reference Feature::setRadiusSearch, feature.h:237; the fixed ``k``
+    caps the fixed-shape neighbor list: raise it when the density makes a
+    radius neighborhood larger than k, which would truncate).
     ``surface`` is the search cloud if different from the query cloud
     (reference: Feature::setSearchSurface, feature.h:129). ``backend``
     follows the unified search auto-selector: brute force on small clouds,
@@ -84,6 +89,8 @@ def estimate_normals(
             surf, cloud.xyz, k, backend=backend, cell_size=cell_size)
     nbr = surf.xyz[jnp.clip(idx, 0, surf.capacity - 1)]
     nbr_valid = valid & cloud.mask[:, None]
+    if radius is not None:
+        nbr_valid = nbr_valid & (d2 <= jnp.float32(radius) ** 2)
     n, c = normals_from_neighborhoods(cloud.xyz, nbr, nbr_valid, viewpoint)
     n = jnp.where(cloud.mask[:, None], n, 0.0)
     c = jnp.where(cloud.mask, c, 0.0)

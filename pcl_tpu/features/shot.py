@@ -107,6 +107,149 @@ def estimate_shot(
     return jnp.where((mask & ok)[:, None], out, 0.0)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def estimate_shot_interpolated(
+    cloud: Cloud,
+    radius: float,
+    k: int = 128,
+) -> jax.Array:
+    """Reference-EXACT SHOT352: quadrilinear interpolation + the
+    reference's LRF, bin layout and normalization (reference:
+    features/include/pcl/features/impl/shot.hpp interpolateSingleChannel
+    :300-430, shot_lrf.hpp getLocalRF :60-165). Golden-pinned on bun0
+    (tests/test_golden_features.py). The default ``estimate_shot`` keeps
+    the hard-binned fast form (same information content, cheaper on TPU:
+    1 scatter per neighbor instead of 5); use this variant when
+    descriptors must interoperate with reference-generated ones bit for
+    bit."""
+    if ATTR_NORMAL not in cloud.attrs:
+        raise ValueError("estimate_shot requires normals")
+    from pcl_tpu.search import bruteforce
+    from pcl_tpu.core import geometry
+    xyz, mask = cloud.xyz, cloud.mask
+    normals = cloud.attrs[ATTR_NORMAL]
+    n = cloud.capacity
+    nb = 10                                 # nr_shape_bins (desc = 32*11)
+    idx, d2, valid = bruteforce.knn(xyz, mask, xyz, k)   # ascending dist
+    r2 = jnp.float32(radius) ** 2
+    valid = valid & (d2 <= r2) & mask[:, None]
+    idxc = jnp.clip(idx, 0, n - 1)
+    nbr = xyz[idxc]
+    vij = nbr - xyz[:, None, :]
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    okn = valid & (d2 > 0.0)                # exclude the query itself
+
+    # --- LRF (shot_lrf.hpp): (r - d)-weighted covariance, x = largest
+    # eigenvector, z = smallest, majority sign disambiguation with the
+    # reference's 5-sample median-window tie-break, y = z cross x
+    w = jnp.where(okn, radius - d, 0.0)
+    cov = jnp.einsum("nk,nki,nkj->nij", w, vij, vij)
+    lam, V = geometry.eigh33(cov)
+    v1 = V[..., :, 2]
+    v3 = V[..., :, 0]
+    nvalid = jnp.sum(okn, axis=1)
+
+    def disamb(v):
+        dp = jnp.einsum("nki,ni->nk", vij, v)
+        plus = jnp.sum((dp >= 0) & okn, axis=1)
+        s = 2 * plus - nvalid
+        # tie-break: 5 neighbors around the median of the valid ascending-
+        # distance list (our k list has self at position 0, so their
+        # median index med maps to our position med + 1)
+        med = nvalid // 2 + 1
+        pos = jnp.clip(med[:, None] - jnp.arange(-2, 3)[None, :], 0, k - 1)
+        dpm = jnp.take_along_axis(dp, pos, axis=1)
+        tie_flip = jnp.sum(dpm > 0, axis=1) < 3
+        flip = (s < 0) | ((s == 0) & tie_flip)
+        return jnp.where(flip[:, None], -v, v)
+
+    v1 = disamb(v1)
+    v3 = disamb(v3)
+    v2 = jnp.cross(v3, v1)
+
+    # --- local coordinates + volume decomposition (shot.hpp:318-365)
+    xf = jnp.einsum("nki,ni->nk", vij, v1)
+    yf = jnp.einsum("nki,ni->nk", vij, v2)
+    zf = jnp.einsum("nki,ni->nk", vij, v3)
+    bit4 = ((yf > 0) | ((yf == 0) & (xf < 0))).astype(jnp.int32)
+    bit3 = jnp.where((xf > 0) | ((xf == 0) & (yf > 0)), 1 - bit4, bit4)
+    desc = (bit4 << 4) + (bit3 << 3)
+    cond = (xf * yf > 0) | (xf == 0.0)
+    desc = desc + jnp.where(
+        cond,
+        jnp.where(jnp.abs(xf) >= jnp.abs(yf), 0, 4),
+        jnp.where(jnp.abs(xf) > jnp.abs(yf), 4, 0))
+    desc = desc + (zf > 0).astype(jnp.int32)
+    r12, r14, r34 = radius / 2.0, radius / 4.0, 3.0 * radius / 4.0
+    desc = desc + 2 * (d > r12).astype(jnp.int32)
+    vol = desc * (nb + 1)
+
+    # --- cosine bin + interpolation (createBinDistanceShape + :366-374)
+    cosD = jnp.clip(jnp.einsum("nki,ni->nk", normals[idxc], v3), -1.0, 1.0)
+    binDist = (1.0 + cosD) * nb / 2.0
+    step = jnp.floor(binDist + 0.5).astype(jnp.int32)
+    frac = binDist - step
+    cos_target = jnp.where(frac > 0,
+                           vol + (step + 1) % nb,
+                           vol + (step - 1 + nb) % nb)
+    cos_w = jnp.abs(frac)
+    intW = 1.0 - jnp.abs(frac)
+
+    # --- radial interpolation (:376-399)
+    outer = d > r12
+    rd_out = (d - r34) / r12
+    rd_in = (d - r14) / r12
+    rad_target = (jnp.where(outer, desc - 2, desc + 2)) * (nb + 1) + step
+    rad_w = jnp.where(outer,
+                      jnp.where(d > r34, 0.0, -rd_out),
+                      jnp.where(d < r14, 0.0, rd_in))
+    intW = intW + jnp.where(
+        outer,
+        jnp.where(d > r34, 1.0 - rd_out, 1.0 + rd_out),
+        jnp.where(d < r14, 1.0 + rd_in, 1.0 - rd_in))
+
+    # --- inclination interpolation (:401-427)
+    incl = jnp.arccos(jnp.clip(zf / jnp.maximum(d, _EPS), -1.0, 1.0))
+    q = jnp.pi / 2.0
+    upper = (incl > q) | ((jnp.abs(incl - q) < 1e-30) & (zf <= 0))
+    id_up = (incl - 3.0 * jnp.pi / 4.0) / q
+    id_lo = (incl - jnp.pi / 4.0) / q
+    inc_target = jnp.where(upper, desc + 1, desc - 1) * (nb + 1) + step
+    inc_w = jnp.where(upper,
+                      jnp.where(incl > 3.0 * jnp.pi / 4.0, 0.0, -id_up),
+                      jnp.where(incl < jnp.pi / 4.0, 0.0, id_lo))
+    intW = intW + jnp.where(
+        upper,
+        jnp.where(incl > 3.0 * jnp.pi / 4.0, 1.0 - id_up, 1.0 + id_up),
+        jnp.where(incl < jnp.pi / 4.0, 1.0 + id_lo, 1.0 - id_lo))
+
+    # --- azimuth interpolation (:429-456)
+    az_on = (yf != 0.0) | (xf != 0.0)
+    azim = jnp.arctan2(yf, xf)
+    sel = desc >> 2
+    azd = (azim - (-jnp.pi * 7.0 / 8.0 + (jnp.pi / 4.0) * sel)) / (jnp.pi / 4.0)
+    azd = jnp.clip(azd, -0.5, 0.5)
+    az_target = jnp.where(azd > 0,
+                          (desc + 4) % 32,
+                          (desc - 4 + 32) % 32) * (nb + 1) + step
+    az_w = jnp.where(az_on, jnp.abs(azd), 0.0)
+    intW = intW + jnp.where(az_on, 1.0 - jnp.abs(azd), 0.0)
+
+    main_target = vol + step
+    T = jnp.stack([main_target, cos_target, rad_target, inc_target,
+                   az_target], axis=-1)                  # [N,k,5]
+    W = jnp.stack([intW, cos_w, rad_w, inc_w, az_w], axis=-1) \
+        * okn[..., None]
+    T = jnp.clip(T, 0, 351)
+    hist = jnp.zeros((n, 352), jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None, None], T.shape)
+    hist = hist.at[rows, T].add(W)
+    nrm_h = jnp.maximum(jnp.linalg.norm(hist, axis=-1, keepdims=True), _EPS)
+    out = hist / nrm_h
+    # fewer than 5 LRF neighbors -> NaN frame in the reference; zero here
+    return jnp.where((mask & (nvalid >= 5))[:, None], out, 0.0)
+
+
 def _rgb_to_lab(rgb: jax.Array) -> jax.Array:
     """sRGB in [0,1] -> CIELab (D65), vectorized (the conversion
     SHOTColorEstimation uses, impl/shot.hpp RGB2CIELAB)."""

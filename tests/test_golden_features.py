@@ -117,3 +117,36 @@ class TestPrincipalCurvaturesGolden:
                                    [0.86725, -0.37599, 0.32635], atol=1e-4)
         assert abs(pc1[n - 3] - 0.2590005) < 1e-4
         assert abs(pc2[n - 3] - 0.1790695) < 1e-4
+
+
+class TestSHOTGolden:
+    def test_radius_normals_golden(self, bun0):
+        """Radius-search normals (reference test_shot_estimation.cpp:383-395,
+        r = 20*mr = 0.04)."""
+        from pcl_tpu import features
+        cn = features.estimate_normals(
+            bun0.without_attrs("normal", "curvature"),
+            k=int(bun0.capacity), radius=0.04)
+        n = np.asarray(cn.attrs["normal"])
+        np.testing.assert_allclose(
+            n[103], [0.36683175, -0.44696972, -0.81587529], atol=1e-4)
+        np.testing.assert_allclose(
+            n[200], [-0.71414840, -0.06002361, -0.69741613], atol=1e-4)
+        np.testing.assert_allclose(
+            n[140], [-0.45109111, -0.19499126, -0.87091631], atol=1e-4)
+
+    def test_shot352_golden(self, bun0):
+        """Interpolated SHOT352 descriptor at point 103 (reference
+        test_shot_estimation.cpp:446-455)."""
+        from pcl_tpu import features
+        from pcl_tpu.features.shot import estimate_shot_interpolated
+        cn = features.estimate_normals(
+            bun0.without_attrs("normal", "curvature"),
+            k=int(bun0.capacity), radius=0.04)
+        sh = np.asarray(estimate_shot_interpolated(cn, radius=0.04, k=256))
+        gold = {9: 0.0072018504, 10: 0.0023103887, 11: 0.0024724449,
+                19: 0.0031367359, 20: 0.17439659, 21: 0.06542316,
+                42: 0.013304681, 53: 0.0073520984, 54: 0.013584172,
+                55: 0.0050609680}
+        for i, g in gold.items():
+            assert abs(float(sh[103, i]) - g) < 1e-4, (i, float(sh[103, i]), g)
