@@ -144,10 +144,15 @@ def bench_gicp(n):
         # inflate overflow. Covariance neighborhoods use the hashed table
         # (density radius is data-dependent): birthday merging there
         # inflates bucket populations, so the cap carries extra headroom.
+        # covariance neighborhoods on a DENSE 4.5 m grid (the density
+        # radius for k=20 at this density is ~4.3): collision-free, so
+        # cap 32 suffices where the hashed table needed 64 (and the
+        # [Q, 27*cap] distance work is 4x smaller)
         return gicp(_cloud(src), _cloud(tgt), max_corr_dist=1.0,
                     max_iterations=ITERS, transformation_eps=0.0,
                     cell_cap=8, corr_backend="cell", grid_dims=(53, 53, 53),
-                    cov_cell_cap=64)
+                    cov_cell_size=4.5, cov_grid_dims=(24, 24, 24),
+                    cov_cell_cap=32)
 
     res = run()
     jax.block_until_ready(res.transform)

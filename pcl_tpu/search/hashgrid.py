@@ -36,7 +36,6 @@ import jax.numpy as jnp
 _INF = jnp.float32(jnp.inf)
 
 # large primes for spatial hashing
-_P1, _P2, _P3 = 73856093, 19349669, 83492791
 
 _OFFSETS = jnp.array(
     [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
