@@ -132,3 +132,38 @@ def test_ndt3d(tmp_path, rng):
     save_pcd(tgt, from_numpy(pts))
     save_pcd(src, from_numpy(pts + np.float32([0.05, -0.03, 0.02])))
     assert main([str(src), str(tgt), "-r", "0.8", "--iters", "15"]) == 0
+
+
+def test_odometry_tool(tmp_path, rng):
+    """Sequence odometry CLI: poses out + ATE against golden (the
+    tools/lum.cpp-style multi-scan flow with ATE evaluation)."""
+    import numpy as np
+    from pcl_tpu.core.cloud import from_numpy
+    from pcl_tpu.io import pcd as pcd_io
+    from pcl_tpu.registration.trajectory import make_drift_sequence
+    from pcl_tpu.tools.odometry import main, _load_poses
+
+    a = rng.uniform(-1, 1, size=(700, 2)).astype(np.float32)
+    scene = np.concatenate([
+        np.c_[a[:, 0], a[:, 1], 0.05 * np.sin(3 * a[:, 0])],
+        np.c_[a[:350, 0], -1 + 0.05 * np.sin(3 * a[:350, 1]), a[:350, 1]],
+        np.c_[1 + 0.05 * np.cos(3 * a[:350, 1]), a[:350, 0], a[:350, 1]],
+    ]).astype(np.float32)
+    scans, golden = make_drift_sequence(scene, 3, rng,
+                                        step_translation=0.02,
+                                        step_rotation=0.02)
+    paths = []
+    for i, s in enumerate(scans):
+        p = str(tmp_path / f"scan{i}.pcd")
+        pcd_io.save(p, from_numpy(s))
+        paths.append(p)
+    gpath = str(tmp_path / "golden.txt")
+    np.savetxt(gpath, golden[:, :3, :4].reshape(len(golden), 12))
+    pout = str(tmp_path / "poses.txt")
+    rc = main(paths + ["--method", "icp", "--max-corr-dist", "0.3",
+                       "--poses-out", pout, "--golden", gpath])
+    assert rc == 0
+    est = _load_poses(pout)
+    assert est.shape == (3, 4, 4)
+    err = np.linalg.norm(est[:, :3, 3] - golden[:, :3, 3], axis=1)
+    assert err.max() < 5e-3, err
