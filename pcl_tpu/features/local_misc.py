@@ -20,6 +20,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pcl_tpu.core.cloud import Cloud, ATTR_NORMAL
 from pcl_tpu.core import geometry
@@ -237,3 +238,98 @@ def moment_invariants(cloud: Cloud, radius: float, k: int = 32) -> jax.Array:
     j3 = (mu200 * mu020 * mu002 + 2.0 * mu110 * mu101 * mu011
           - mu002 * mu110 ** 2 - mu020 * mu101 ** 2 - mu200 * mu011 ** 2)
     return jnp.where(mask[:, None], jnp.stack([j1, j2, j3], axis=-1), 0.0)
+
+
+@partial(jax.jit, static_argnames=("image_width", "k", "radial", "angular",
+                                   "min_pts", "support_angle_cos"))
+def spin_images_reference(
+    cloud: Cloud,
+    radius: float,
+    image_width: int = 8,
+    support_angle_cos: float = 0.0,
+    k: int = 256,
+    radial: bool = False,
+    angular: bool = False,
+    min_pts: int = 1,
+) -> jax.Array:
+    """Reference-EXACT spin images (reference: features/include/pcl/
+    features/impl/spin_image.hpp computeSiForPoint :69-234): cylindrical
+    (alpha, beta) coordinates about the point normal, bilinear binning
+    into an (image_width+1) x (2*image_width+1) matrix with the
+    reference's border hacks, support-angle filtering, and the three
+    domains (rectangular / radial / angular). Returns
+    [capacity, (w+1)*(2w+1)] (153 for w=8), flattened
+    alpha-row-major like the reference's copy loop (spin_image.hpp:335). Golden-pinned on bun0
+    (tests/test_golden_features.py)."""
+    from pcl_tpu.search import bruteforce
+    if ATTR_NORMAL not in cloud.attrs:
+        raise ValueError("spin_images_reference requires normals")
+    xyz, mask = cloud.xyz, cloud.mask
+    nrm = cloud.attrs[ATTR_NORMAL]
+    n = cloud.capacity
+    w = image_width
+    idx, d2, valid = bruteforce.knn(xyz, mask, xyz, k)
+    valid = valid & (d2 <= jnp.float32(radius) ** 2) & mask[:, None]
+    idxc = jnp.clip(idx, 0, n - 1)
+    n_neigh = jnp.sum(valid, axis=1)            # includes the point itself
+    cosbn = jnp.clip(jnp.einsum("ni,nki->nk", nrm, nrm[idxc]), -1.0, 1.0)
+    keep = valid
+    if support_angle_cos > 0.0 or angular:
+        keep = keep & (jnp.abs(cosbn) >= support_angle_cos)
+    cos_pos = jnp.abs(cosbn)                    # counter-directed allowed
+    direction = xyz[idxc] - xyz[:, None, :]
+    dn = jnp.sqrt(jnp.maximum(d2, 0.0))
+    keep = keep & (d2 > 0.0)
+    cda = jnp.clip(jnp.einsum("nki,ni->nk", direction, nrm)
+                   / jnp.maximum(dn, 1e-30), -1.0, 1.0)
+    if radial:
+        bin_size = radius / w
+        beta = jnp.arcsin(cda)
+        alpha = dn
+        beta_bin_size = jnp.pi / 2.0 / w
+    else:
+        bin_size = radius / w / np.sqrt(2.0)
+        beta = dn * cda
+        alpha = dn * jnp.sqrt(jnp.maximum(1.0 - cda * cda, 0.0))
+        keep = keep & (jnp.abs(beta) < bin_size * w) & (alpha < bin_size * w)
+        beta_bin_size = bin_size
+    bbin = jnp.floor(beta / beta_bin_size).astype(jnp.int32) + w
+    abin = jnp.floor(alpha / bin_size).astype(jnp.int32)
+    a_border = abin == w
+    b_border = bbin == 2 * w
+    abin = jnp.where(a_border, abin - 1, abin)
+    bbin = jnp.where(b_border, bbin - 1, bbin)
+    a = jnp.where(a_border, 1.0, alpha / bin_size - abin)
+    b = jnp.where(b_border, 1.0, beta / beta_bin_size - (bbin - w))
+    a = jnp.clip(a, 0.0, 1.0)
+    b = jnp.clip(b, 0.0, 1.0)
+    abin = jnp.clip(abin, 0, w - 1)
+    bbin = jnp.clip(bbin, 0, 2 * w - 1)
+    cols_n = 2 * w + 1
+    # reference copy order: histogram[row * cols + col] with row = alpha
+    # bin, col = beta bin (spin_image.hpp:335)
+    t00 = abin * cols_n + bbin
+    t10 = t00 + cols_n
+    t01 = t00 + 1
+    t11 = t10 + 1
+    kf = keep.astype(jnp.float32)
+    w00 = (1 - a) * (1 - b) * kf
+    w10 = a * (1 - b) * kf
+    w01 = (1 - a) * b * kf
+    w11 = a * b * kf
+    T = jnp.stack([t00, t10, t01, t11], axis=-1)           # [N,k,4]
+    W = jnp.stack([w00, w10, w01, w11], axis=-1)
+    nb = (w + 1) * cols_n
+    rows_idx = jnp.broadcast_to(jnp.arange(n)[:, None, None], T.shape)
+    hist = jnp.zeros((n, nb), jnp.float32).at[rows_idx, T].add(W)
+    if angular:
+        ang = jnp.arccos(cos_pos)
+        WA = W * ang[..., None]
+        asum = jnp.zeros((n, nb), jnp.float32).at[rows_idx, T].add(WA)
+        out = asum / (hist + 1e-16)
+    else:
+        s = jnp.sum(hist, axis=1, keepdims=True)
+        out = jnp.where((n_neigh > 1)[:, None] & (s > 0), hist
+                        / jnp.maximum(s, 1e-30), hist)
+    ok = mask & (n_neigh >= min_pts)
+    return jnp.where(ok[:, None], out, 0.0)

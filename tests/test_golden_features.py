@@ -150,3 +150,67 @@ class TestSHOTGolden:
                 55: 0.0050609680}
         for i, g in gold.items():
             assert abs(float(sh[103, i]) - g) < 1e-4, (i, float(sh[103, i]), g)
+
+
+class TestSpinImageGolden:
+    """Reference-exact spin images (reference
+    test_spin_estimation.cpp:100-230: SpinImageEstimation(8, 0.5, 16) at
+    r = 0.08 on bun0 with the r=0.04 estimated normals; radial,
+    rectangular, and angular domains, points 100 and 300)."""
+
+    @pytest.fixture(scope="class")
+    def with_normals(self, bun0):
+        from pcl_tpu import features
+        return features.estimate_normals(
+            bun0.without_attrs("normal", "curvature"),
+            k=int(bun0.capacity), radius=0.04)
+
+    def _check(self, si, golds):
+        for pt, gl in golds.items():
+            for i, g in gl.items():
+                assert abs(float(si[pt, i]) - g) < 1e-4, (pt, i, float(si[pt, i]), g)
+
+    def test_radial(self, with_normals):
+        from pcl_tpu.features.local_misc import spin_images_reference
+        si = np.asarray(spin_images_reference(
+            with_normals, 0.08, 8, 0.5, 397, radial=True, min_pts=16))
+        self._check(si, {
+            100: {0: 0, 12: 0, 24: 0.00233226, 36: 0, 48: 8.48662e-5,
+                  60: 0.0266387, 72: 0, 84: 0, 96: 0.0414662, 108: 0,
+                  120: 0, 132: 0, 144: 0.0128513},
+            300: {0: 0, 12: 0, 24: 0.00932424, 36: 0, 48: 0,
+                  60: 0.0145733, 72: 0, 84: 0, 96: 0.00034457, 108: 0,
+                  120: 0, 132: 0, 144: 0.0121195}})
+
+    def test_radial_angular(self, with_normals):
+        from pcl_tpu.features.local_misc import spin_images_reference
+        si = np.asarray(spin_images_reference(
+            with_normals, 0.08, 8, 0.5, 397, radial=True, angular=True,
+            min_pts=16))
+        self._check(si, {
+            100: {0: 0, 12: 0, 24: 0.132139, 36: 0, 48: 0.908814,
+                  60: 0.63875, 72: 0, 84: 0, 96: 0.550392, 108: 0}})
+
+    def test_rectangular(self, with_normals):
+        from pcl_tpu.features.local_misc import spin_images_reference
+        si = np.asarray(spin_images_reference(
+            with_normals, 0.08, 8, 0.5, 397, min_pts=16))
+        self._check(si, {
+            100: {0: 0, 12: 0, 24: 0.000889345, 36: 0, 48: 0,
+                  60: 0.0489534, 72: 0, 84: 0, 96: 0.0747141, 108: 0,
+                  120: 0, 132: 0.0173423, 144: 0},
+            300: {0: 0, 12: 0, 24: 0.0267132, 36: 0, 48: 0, 60: 0, 72: 0,
+                  84: 0, 96: 0, 108: 0.0209709, 120: 0, 132: 0,
+                  144: 0.029372}})
+
+    def test_rectangular_angular(self, with_normals):
+        from pcl_tpu.features.local_misc import spin_images_reference
+        si = np.asarray(spin_images_reference(
+            with_normals, 0.08, 8, 0.5, 397, angular=True, min_pts=16))
+        self._check(si, {
+            100: {0: 0, 12: 0, 24: 0.132139, 36: 0, 48: 0,
+                  60: 0.38800787925720215, 72: 0, 84: 0, 96: 0.468881,
+                  108: 0, 120: 0, 132: 0.67901438474655151, 144: 0},
+            300: {0: 0, 12: 0, 24: 0.143845, 36: 0, 48: 0, 60: 0, 72: 0,
+                  84: 0, 96: 0, 108: 0.706084, 120: 0, 132: 0,
+                  144: 0.272542}})
