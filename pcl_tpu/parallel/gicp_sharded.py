@@ -22,8 +22,6 @@ Communication per align(): 1 all_gather(N*12 B) +
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ frame — not a hot path.
 from __future__ import annotations
 
 import re
-from typing import Optional, Tuple
+
 
 import numpy as np
 
@@ -91,12 +91,9 @@ def dollar_hog(img: np.ndarray, bin_size: int = 8, n_orients: int = 9,
     yb0 = np.floor(yb).astype(np.int64)
     xd = xb - xb0
     yd = yb - yb0
-    XB0, YB0 = np.meshgrid(xb0, yb0, indexing="xy")   # [W? ...]
-    # build flat scatter over 4 spatial corners x 2 orientation bins
+    # flat scatter over 4 spatial corners x 2 orientation bins
     for cx, wx_arr in ((xb0, 1 - xd), (xb0 + 1, xd)):
         for cy, wy_arr in ((yb0, 1 - yd), (yb0 + 1, yd)):
-            CX, CY = np.meshgrid(cx, cy, indexing="xy")      # [W then H]?
-            # meshgrid(indexing='xy') gives [H?]. Use explicit broadcast:
             CXb = np.broadcast_to(cx[None, :], (H, W))
             CYb = np.broadcast_to(cy[:, None], (H, W))
             WXb = np.broadcast_to(wx_arr[None, :], (H, W))

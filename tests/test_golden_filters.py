@@ -4,7 +4,6 @@ counts but CONTENT AND ORDERING: the voxel grid's output order (z-major
 linear leaf ids) and centroid values match the reference to 1e-4."""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from conftest import reference_pcd
