@@ -24,22 +24,21 @@ from pcl_tpu.core import geometry
 _EPS = 1e-12
 
 
-def gasd_reference_frame(cloud: Cloud) -> jax.Array:
-    """PCA-based global alignment transform (reference gasd.h
-    computeAlignmentTransform: centroid + EVD of the scatter matrix, axes
-    disambiguated so that the positive half-space holds more points)."""
+def gasd_reference_frame(cloud: Cloud,
+                         view_direction=(0.0, 0.0, 1.0)) -> jax.Array:
+    """PCA-based global alignment transform (reference: gasd.hpp
+    computeAlignmentTransform :70-113): z = smallest eigenvector NEGATED
+    when it points along the viewing direction (sensor convention: +z is
+    the camera axis, so the frame z faces the viewpoint), x = largest
+    eigenvector, y = z cross x. Golden-pinned to the reference's bun0
+    transform (tests/test_golden_features.py)."""
     xyz, mask = cloud.xyz, cloud.mask
     mu, cov, _ = geometry.mean_and_covariance(xyz, mask)
     lam, V = geometry.eigh33(cov)                       # ascending
-    # axes: z = smallest eigenvector, x = largest; disambiguate signs
     z = V[:, 0]
     x = V[:, 2]
-    w = mask.astype(jnp.float32)
-    d = xyz - mu
-    sx = jnp.sum(w * jnp.sign(d @ x))
-    sz = jnp.sum(w * jnp.sign(d @ z))
-    x = jnp.where(sx < 0, -x, x)
-    z = jnp.where(sz < 0, -z, z)
+    vd = jnp.asarray(view_direction, xyz.dtype)
+    z = jnp.where(jnp.dot(z, vd) > 0, -z, z)
     y = jnp.cross(z, x)
     R = jnp.stack([x, y, z], axis=0)                    # world -> frame rows
     T = jnp.eye(4, dtype=xyz.dtype)

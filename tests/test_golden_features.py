@@ -214,3 +214,17 @@ class TestSpinImageGolden:
             300: {0: 0, 12: 0, 24: 0.143845, 36: 0, 48: 0, 60: 0, 72: 0,
                   84: 0, 96: 0, 108: 0.706084, 120: 0, 132: 0,
                   144: 0.272542}})
+
+
+class TestGASDGolden:
+    def test_alignment_transform(self, bun0):
+        """GASD reference-frame transform on bun0 (reference
+        test_gasd_estimation.cpp ref_trans, exact to 1e-5)."""
+        from pcl_tpu.features.gasd import gasd_reference_frame
+        T = np.asarray(gasd_reference_frame(bun0))
+        ref = np.array([
+            [0.661875, -0.704840, 0.255192, 0.0846344],
+            [-0.748769, -0.605475, 0.269713, 0.0330151],
+            [-0.035592, -0.369596, -0.928511, 0.0622551],
+            [0, 0, 0, 1]])
+        np.testing.assert_allclose(T, ref, atol=1e-5)
