@@ -705,7 +705,7 @@ def _span_sqdist(span_rows_arr: jax.Array, local: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("block_queries", "span_rows", "with_dst",
-                                   "unroll"))
+                                   "unroll", "pair_view"))
 def nn1_radius_blocked(
     table: CellTable,
     queries: jax.Array,
@@ -714,6 +714,7 @@ def nn1_radius_blocked(
     span_rows: int = 131072,
     with_dst: bool = False,
     unroll: bool = False,
+    pair_view: bool = False,
 ):
     """nn1_radius for large DENSE tables: queries MUST be (approximately)
     sorted by their dense cell id; processed in ``block_queries`` chunks
@@ -725,7 +726,15 @@ def nn1_radius_blocked(
     ``with_dst`` additionally returns the WINNER'S COORDINATES [Q,3]
     (read from the packed rows already in hand) so consumers skip the
     ``tgt[idx]`` re-gather — the ICP estimation side's dominant cost at
-    1M points (measured ~13 ms/iter of its 26)."""
+    1M points (measured ~13 ms/iter of its 26).
+
+    ``pair_view``: gather z-PAIR double rows instead of single bucket
+    rows (4 gathers of 2*cap*4 lanes per neighborhood instead of 8 of
+    cap*4; the pair concatenation preserves the [8*cap*4] lane layout so
+    downstream matmul maps are unchanged). Measured NEUTRAL at 1M on v5e
+    (52.2 vs 50.6 ms/iter: the per-call pair-view construction and the
+    doubled row width offset the halved gather issue count), kept as an
+    oracle-tested option — off by default."""
     if table.dims is None:
         raise ValueError("blocked path requires a dense-grid table")
     cx, cy, cz = table.dims
@@ -776,6 +785,24 @@ def nn1_radius_blocked(
           == jnp.arange(4, dtype=jnp.int32)[None, :]).astype(jnp.float32)
     r2 = jnp.asarray(r, jnp.float32) ** 2
 
+    if pair_view:
+        # z-pair views over the ONE-ROW-PADDED table (pdata[i] = bucket
+        # i-1; row 0 is an empty sentinel so the pair covering buckets
+        # (b, b+1) exists for any b >= -1, including span/grid edges):
+        #   E[p] = (pdata[2p],   pdata[2p+1]) = buckets (2p-1, 2p)
+        #   O[p] = (pdata[2p+1], pdata[2p+2]) = buckets (2p,   2p+1)
+        # Recomputed per call (~1 ms of copies at 1M) — cheaper than the
+        # gather issue time it saves.
+        H2 = (R + 4) // 2
+        data_p = jnp.concatenate([
+            jnp.full((1, C4), _BIG, jnp.float32),
+            table.data,
+            jnp.full((2 * H2 + 2 - (R + 2), C4), _BIG, jnp.float32)])
+        even_view = data_p[: 2 * H2].reshape(H2, 2 * C4)
+        odd_view = data_p[1: 2 * H2 + 1].reshape(H2, 2 * C4)
+        Hspan = span_rows // 2
+        Hs1 = Hspan + 1
+
     def block(b):
         qb = jax.lax.dynamic_slice(
             qp, (b * block_queries, 0), (block_queries, 3))
@@ -805,14 +832,44 @@ def nn1_radius_blocked(
         realq = qb[:, 0] < 1e29
         idmin = jnp.min(jnp.where(bucket_ok & realq[:, None], ids, R))
         span_start = jnp.clip(idmin, 0, max(R + 1 - span_rows, 0))
-        span = jax.lax.dynamic_slice(
-            table.data, (span_start, 0), (span_rows, cap * 4))
+        if pair_view:
+            span_start = span_start & ~1          # even-align for pair maps
         local = ids - span_start
-        in_span = (local >= 0) & (local < span_rows)
+        if pair_view:
+            # the pair fetch carries one bucket of overhang on each side:
+            # a k=0 bucket at local -1 and a k=1 bucket at local span are
+            # genuinely read (E covers base -1, the pair's second slot
+            # covers span), so they are NOT span misses
+            lo = jnp.asarray([-1, 0] * 4, jnp.int32)[None, :]
+            hi = jnp.asarray([span_rows, span_rows + 1] * 4,
+                             jnp.int32)[None, :]
+            in_span = (local >= lo) & (local < hi)
+        else:
+            in_span = (local >= 0) & (local < span_rows)
         miss = bucket_ok & ~in_span & realq[:, None]       # real cell, not in span
         ok = bucket_ok & in_span
         B = block_queries
-        rows = span[jnp.clip(local, 0, span_rows - 1)].reshape(B, L)
+        if pair_view:
+            # slices at pair index span_start/2 cover bases
+            # b in [span_start-1, span_start+span_rows) across the two
+            # parities (E holds odd bases incl. -1, O holds even bases)
+            espan = jax.lax.dynamic_slice(
+                even_view, (span_start >> 1, 0), (Hs1, 2 * C4))
+            ospan = jax.lax.dynamic_slice(
+                odd_view, (span_start >> 1, 0), (Hs1, 2 * C4))
+            pspan = jnp.concatenate([espan, ospan])        # [2*Hs1, 2C4]
+            # base bucket of z-pair m = local[:, 2m]; the pair row exists
+            # for any base with EITHER bucket in span (clip keeps the
+            # fetch in range; out-of-range offsets are pen/ok-masked)
+            l4 = jnp.clip(local[:, 0::2], -1, span_rows - 1)
+            plocal = jnp.where(l4 & 1 != 0,
+                               (l4 + 1) >> 1,              # odd base -> E
+                               Hs1 + (l4 >> 1))            # even base -> O
+            rows = pspan[plocal].reshape(B, L)
+        else:
+            span = jax.lax.dynamic_slice(
+                table.data, (span_start, 0), (span_rows, cap * 4))
+            rows = span[jnp.clip(local, 0, span_rows - 1)].reshape(B, L)
         q4 = jnp.concatenate([qb, jnp.zeros_like(qb[:, :1])], axis=1)
         qbl = jnp.dot(q4, T4, preferred_element_type=jnp.float32)   # [B,L]
         diff = jnp.clip((rows - qbl) * is_coord_l[None, :], -1e15, 1e15)
