@@ -228,3 +228,19 @@ class TestGASDGolden:
             [-0.035592, -0.369596, -0.928511, 0.0622551],
             [0, 0, 0, 1]])
         np.testing.assert_allclose(T, ref, atol=1e-5)
+
+
+class TestBoundaryGolden:
+    def test_flags(self, bun0):
+        """Boundary flags with the full cloud as neighborhood (reference
+        test_boundary_estimation.cpp:60-100: points 0, n/3, n/2 interior,
+        n-1 boundary)."""
+        from pcl_tpu import features
+        n = int(bun0.capacity)
+        cn = features.estimate_normals(
+            bun0.without_attrs("normal", "curvature"), k=n)
+        b = np.asarray(features.boundary_estimation(cn, radius=10.0, k=n))
+        assert not bool(b[0])
+        assert not bool(b[n // 3])
+        assert not bool(b[n // 2])
+        assert bool(b[n - 1])
