@@ -7,7 +7,7 @@ all descriptors as masked einsum/histogram reductions.
 
 from pcl_tpu.features.normals import estimate_normals, flip_normals_towards_viewpoint
 from pcl_tpu.features.fpfh import estimate_fpfh, estimate_pfh
-from pcl_tpu.features.shot import estimate_shot_interpolated, estimate_shot, estimate_shot_color, local_reference_frames
+from pcl_tpu.features.shot import estimate_shot_interpolated, estimate_shot, estimate_shot_hard, estimate_shot_color, local_reference_frames
 from pcl_tpu.features.global_desc import estimate_vfh, estimate_esf
 from pcl_tpu.features.local_misc import spin_images_reference
 from pcl_tpu.features.local_misc import (

@@ -7,9 +7,12 @@ SHOT352 (common/include/pcl/impl/point_types.hpp:1986): 32 spatial sectors
 
 The local reference frame follows the reference: radius-weighted covariance
 (weight = r - d), eigenvectors with sign disambiguation by majority vote of
-neighbor directions (shot_lrf.hpp). Binning here is hard (nearest bin)
-rather than PCL's quadrilinear interpolation — descriptors remain stable
-under rigid motion, with slightly sharper histograms (documented deviation).
+neighbor directions (shot_lrf.hpp). The DEFAULT ``estimate_shot`` is the
+reference-exact quadrilinear-interpolated form (golden-pinned on bun0);
+``estimate_shot_hard`` is an opt-in faster variant that hard-bins (nearest
+bin) — stable under rigid motion, slightly sharper histograms, 1 scatter
+per neighbor instead of 5, but NOT bit-compatible with reference
+descriptors.
 """
 
 from __future__ import annotations
@@ -55,16 +58,38 @@ def local_reference_frames(
     return frames, ok
 
 
-@partial(jax.jit, static_argnames=("k", "n_cos_bins"))
 def estimate_shot(
     cloud: Cloud,
     radius: float,
     k: int = 64,
     n_cos_bins: int = 11,
     backend: str = "auto",
+    interpolated: bool = True,
 ) -> jax.Array:
-    """SHOT descriptors [capacity, 352]. Requires normals. ``backend``
-    follows the unified search auto-selector (cell list at scale)."""
+    """SHOT descriptors [capacity, 352]. Requires normals.
+
+    Default is the reference-EXACT quadrilinear-interpolated descriptor
+    (``estimate_shot_interpolated``); pass ``interpolated=False`` for the
+    cheaper hard-binned variant (not bit-compatible with the reference).
+    ``backend`` follows the unified search auto-selector (cell list at
+    scale). ``n_cos_bins`` other than 11 forces the hard variant (the
+    reference layout is fixed at 32 x 11)."""
+    if interpolated and n_cos_bins == 11:
+        return estimate_shot_interpolated(cloud, radius, k=k, backend=backend)
+    return estimate_shot_hard(cloud, radius, k=k, n_cos_bins=n_cos_bins,
+                              backend=backend)
+
+
+@partial(jax.jit, static_argnames=("k", "n_cos_bins", "backend"))
+def estimate_shot_hard(
+    cloud: Cloud,
+    radius: float,
+    k: int = 64,
+    n_cos_bins: int = 11,
+    backend: str = "auto",
+) -> jax.Array:
+    """Hard-binned (nearest-bin) SHOT [capacity, 352] — the fast opt-in
+    variant; see module docstring. Requires normals."""
     if ATTR_NORMAL not in cloud.attrs:
         raise ValueError("estimate_shot requires normals")
     from pcl_tpu import search as search_mod
@@ -107,31 +132,36 @@ def estimate_shot(
     return jnp.where((mask & ok)[:, None], out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "backend"))
 def estimate_shot_interpolated(
     cloud: Cloud,
     radius: float,
     k: int = 128,
+    backend: str = "auto",
 ) -> jax.Array:
-    """Reference-EXACT SHOT352: quadrilinear interpolation + the
-    reference's LRF, bin layout and normalization (reference:
-    features/include/pcl/features/impl/shot.hpp interpolateSingleChannel
-    :300-430, shot_lrf.hpp getLocalRF :60-165). Golden-pinned on bun0
-    (tests/test_golden_features.py). The default ``estimate_shot`` keeps
-    the hard-binned fast form (same information content, cheaper on TPU:
-    1 scatter per neighbor instead of 5); use this variant when
-    descriptors must interoperate with reference-generated ones bit for
-    bit."""
+    """Reference-EXACT SHOT352 — the DEFAULT ``estimate_shot`` path:
+    quadrilinear interpolation + the reference's LRF, bin layout and
+    normalization (reference: features/include/pcl/features/impl/shot.hpp
+    interpolateSingleChannel :300-430, shot_lrf.hpp getLocalRF :60-165).
+    Golden-pinned on bun0 (tests/test_golden_features.py). ``backend``
+    follows the unified search auto-selector: at scale the cell list
+    (cell_size = radius, 27-cell probe) supplies the same ascending-
+    distance neighbor list as brute force, exact within ``radius`` when
+    no bucket truncates."""
     if ATTR_NORMAL not in cloud.attrs:
         raise ValueError("estimate_shot requires normals")
-    from pcl_tpu.search import bruteforce
+    from pcl_tpu import search as search_mod
     from pcl_tpu.core import geometry
     xyz, mask = cloud.xyz, cloud.mask
     normals = cloud.attrs[ATTR_NORMAL]
     n = cloud.capacity
     nb = 10                                 # nr_shape_bins (desc = 32*11)
-    idx, d2, valid = bruteforce.knn(xyz, mask, xyz, k)   # ascending dist
+    idx, d2, valid = search_mod.knn(
+        cloud, xyz, k, backend=backend, cell_size=radius)[:3]
     r2 = jnp.float32(radius) ** 2
+    # invalid lanes may carry inf sqdist; make them finite so the masked
+    # interpolation weights below stay nan-free (0 * inf poisons scatters)
+    d2 = jnp.where(jnp.isfinite(d2), d2, 4.0 * r2)
     valid = valid & (d2 <= r2) & mask[:, None]
     idxc = jnp.clip(idx, 0, n - 1)
     nbr = xyz[idxc]

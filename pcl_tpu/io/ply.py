@@ -201,10 +201,13 @@ def _body_size_guard(f, elements, fmt) -> None:
     need = 0
     for el in elements:
         if fmt == "ascii":
-            row = 2 * max(len(el.properties), 1)   # >= "0 " per property
+            # >= "0 " per property, minus 1: the very last value of the
+            # last row may be a single byte with no trailing newline
+            row = 2 * max(len(el.properties), 1)
+            need += max(el.count * row - 1, 0)
         else:
             row = sum(np.dtype(p[2]).itemsize for p in el.properties)
-        need += el.count * row
+            need += el.count * row
     if need > remaining:
         raise ValueError(
             f"PLY body too short: header promises >= {need} bytes, "

@@ -175,7 +175,7 @@ class GroundBasedPeopleDetector:
                 score = 1.0
                 if self.classifier is not None and rgb_image is not None \
                         and self.intrinsics is not None:
-                    score = self._hog_confidence(spts, d, rgb_image)
+                    score = self._hog_confidence(spts, d, rgb_image, n)
                     if score < self.min_confidence:
                         continue
                 elif self.svm_model is not None:
@@ -191,16 +191,19 @@ class GroundBasedPeopleDetector:
         return out
 
     def _hog_confidence(self, pts: np.ndarray, heights: np.ndarray,
-                        rgb_image: np.ndarray) -> float:
+                        rgb_image: np.ndarray, n: np.ndarray) -> float:
         """Project the cluster's top/bottom/center through the intrinsics
         and evaluate the HOG+SVM window (reference: PersonCluster's
         getTTop/getTBottom = the centroid displaced along the ground
-        normal, ground_based_people_detection_app.hpp:403-409)."""
+        normal, ground_based_people_detection_app.hpp:403-409).
+
+        ``n`` is the already-oriented unit ground normal from detect() —
+        re-deriving it here from self.ground_coeffs both crashed when the
+        plane came from RANSAC (ground_coeffs is None) and could disagree
+        with detect()'s median-height orientation rule.
+        """
         K = np.asarray(self.intrinsics, np.float64)
-        coeffs = np.asarray(self.ground_coeffs, np.float64)
-        n = coeffs[:3] / np.linalg.norm(coeffs[:3])
-        if coeffs[3] < 0:      # orient so the camera is above the floor
-            n = -n
+        n = np.asarray(n, np.float64)
         center = pts.mean(0)
         h_c = float(heights.mean())
         ttop = center + (float(heights.max()) - h_c) * n

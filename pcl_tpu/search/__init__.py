@@ -124,8 +124,8 @@ def knn(target, queries, k: int, backend: str = "auto",
         if cell_size is None:
             raise ValueError("hashgrid backend requires cell_size")
         grid = build_hashgrid(xyz, mask, cell_size)
-        idx, d, v, _ = hashgrid.knn(grid, queries, k, **kw)
-        return _ret(idx, d, v, jnp.zeros((queries.shape[0],), bool))
+        idx, d, v, trunc = hashgrid.knn(grid, queries, k, **kw)
+        return _ret(idx, d, v, trunc)
     idx, d, v = bruteforce.knn(xyz, mask, queries, k, **kw)
     return _ret(idx, d, v, jnp.zeros((queries.shape[0],), bool))
 
@@ -154,8 +154,8 @@ def radius_search(target, queries, r: float, cap: int, backend: str = "auto",
         return _ret(idx, d, v, count, trunc)
     if backend == "hashgrid":
         grid = build_hashgrid(xyz, mask, r)
-        idx, d, v, count, _ = hashgrid.radius(grid, queries, r, cap, **kw)
-        return _ret(idx, d, v, count, jnp.zeros((queries.shape[0],), bool))
+        idx, d, v, count, trunc = hashgrid.radius(grid, queries, r, cap, **kw)
+        return _ret(idx, d, v, count, trunc)
     idx, d, v, count = bruteforce.radius(xyz, mask, queries, r, cap, **kw)
     return _ret(idx, d, v, count, jnp.zeros((queries.shape[0],), bool))
 

@@ -208,6 +208,11 @@ def build(
     # FLAT 1-D scatter: a [(ts+1)*cap, 4] intermediate pads its 4 lanes to
     # 128 — 32x transient HBM (17 GB at cap=256, OOMing the radius-outlier
     # self-tuning path); the 1-D layout is exact-sized
+    if (table_size + 1) * cap * 4 >= 2**31:
+        raise ValueError(
+            f"cell table too large: (table_size+1)*cap*4 = "
+            f"{(table_size + 1) * cap * 4} overflows the int32 flat scatter "
+            f"index (table_size={table_size}, cap={cap}); shrink dims or cap")
     tbl = jnp.full(((table_size + 1) * cap * 4,), _BIG, jnp.float32)
     flat_idx = (slot[:, None] * 4
                 + jnp.arange(4, dtype=slot.dtype)[None, :]).reshape(-1)

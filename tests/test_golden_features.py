@@ -137,13 +137,13 @@ class TestSHOTGolden:
 
     def test_shot352_golden(self, bun0):
         """Interpolated SHOT352 descriptor at point 103 (reference
-        test_shot_estimation.cpp:446-455)."""
+        test_shot_estimation.cpp:446-455) — via the DEFAULT entry point
+        ``estimate_shot`` (VERDICT r3 #6: reference-exact is the default)."""
         from pcl_tpu import features
-        from pcl_tpu.features.shot import estimate_shot_interpolated
         cn = features.estimate_normals(
             bun0.without_attrs("normal", "curvature"),
             k=int(bun0.capacity), radius=0.04)
-        sh = np.asarray(estimate_shot_interpolated(cn, radius=0.04, k=256))
+        sh = np.asarray(features.estimate_shot(cn, radius=0.04, k=256))
         gold = {9: 0.0072018504, 10: 0.0023103887, 11: 0.0024724449,
                 19: 0.0031367359, 20: 0.17439659, 21: 0.06542316,
                 42: 0.013304681, 53: 0.0073520984, 54: 0.013584172,
