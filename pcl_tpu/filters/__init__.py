@@ -1,6 +1,6 @@
 from pcl_tpu.filters.voxel_grid import voxel_downsample, uniform_sample
 from pcl_tpu.filters.passthrough import pass_through, crop_box, function_filter, clip_plane
-from pcl_tpu.filters.outliers import statistical_outlier_removal, radius_outlier_removal
+from pcl_tpu.filters.outliers import statistical_outlier_removal, radius_outlier_removal, radius_outlier_keep
 from pcl_tpu.filters.sampling import random_sample, farthest_point_sample, normal_space_sample
 from pcl_tpu.filters.extras import (
     frustum_culling,
@@ -43,6 +43,7 @@ __all__ = [
     "clip_plane",
     "statistical_outlier_removal",
     "radius_outlier_removal",
+    "radius_outlier_keep",
     "random_sample",
     "farthest_point_sample",
     "normal_space_sample",

@@ -59,6 +59,41 @@ def statistical_outlier_removal(
     return cloud.with_mask(keep)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("min_neighbors", "backend", "cell_cap",
+                                    "table_size"))
+def radius_outlier_keep(
+    cloud: Cloud,
+    radius: float,
+    min_neighbors: int = 1,
+    backend: str = "cell",
+    cell_cap: int = 64,
+    table_size: int = 1 << 17,
+):
+    """Jittable decision core of radius_outlier_removal: returns
+    (keep [N] bool, ambiguous [N] bool). ``ambiguous`` marks points whose
+    capped cell count truncated AND fell below threshold — only those need
+    the exact brute re-count (the wrapper resolves them host-side; empty
+    on realistic densities)."""
+    from pcl_tpu import search as search_mod
+    from pcl_tpu.search import cell_list, _map_blocks
+
+    if backend == "bruteforce":
+        _, _, _, count = search_mod.radius_search(
+            cloud, cloud.xyz, radius, 1, backend="bruteforce")
+        keep = (count - 1) >= min_neighbors  # subtract self
+        return keep, jnp.zeros_like(keep)
+    table = cell_list.build(cloud.xyz, cloud.mask, jnp.float32(radius),
+                            table_size=table_size, cap=cell_cap)
+    count, trunc = _map_blocks(
+        lambda q: cell_list.radius_count(table, q, radius),
+        cloud.xyz, slots=8 * cell_cap)
+    keep = (count - 1) >= min_neighbors
+    return keep, trunc & ~keep & cloud.mask
+
+
 def radius_outlier_removal(
     cloud: Cloud,
     radius: float,
@@ -81,25 +116,19 @@ def radius_outlier_removal(
     threshold from the capped sweep and the brute phase is empty. (A
     self-tuning cap-doubling retry costs a rebuild + full recount + XLA
     recompile per escalation — measured 18.7 s on that fixture.)"""
-    from pcl_tpu import search as search_mod
     from pcl_tpu.search import bruteforce as bf
-    from pcl_tpu.search import cell_list, _map_blocks
 
     n = cloud.capacity
     use_cells = backend == "cell" or (backend == "auto" and n > 32768)
     if not use_cells:
-        _, _, _, count = search_mod.radius_search(
-            cloud, cloud.xyz, radius, 1, backend="bruteforce")
-        keep = (count - 1) >= min_neighbors  # subtract self
+        keep, _amb = radius_outlier_keep(cloud, radius, min_neighbors,
+                                         backend="bruteforce")
     else:
         cap = cell_cap or 64
-        table = cell_list.build(cloud.xyz, cloud.mask, jnp.float32(radius),
-                                table_size=table_size, cap=cap)
-        count, trunc = _map_blocks(
-            lambda q: cell_list.radius_count(table, q, radius),
-            cloud.xyz, slots=8 * cap)
-        keep = (count - 1) >= min_neighbors
-        ambiguous = np.asarray(trunc & ~keep & cloud.mask)
+        keep, amb = radius_outlier_keep(cloud, radius, min_neighbors,
+                                        backend="cell", cell_cap=cap,
+                                        table_size=table_size)
+        ambiguous = np.asarray(amb)
         if ambiguous.any():
             xyz_np = np.asarray(cloud.xyz)
             amb_idx = np.nonzero(ambiguous)[0]

@@ -354,8 +354,12 @@ def nn1_radius(
     L = S * 4
     lane = jnp.arange(L, dtype=jnp.int32)
     eq = d2 == best_d2[:, None]
-    sel = (eq & (jnp.cumsum(eq.astype(jnp.int32), axis=1) == 1)
-           ).astype(jnp.float32)
+    # first-match one-hot via min over slot ids: a cheap reduce, where the
+    # previous cumsum lowered to an O(S^2) reduce-window (13.2 ms/iter of
+    # the 1M ICP trace, the single most expensive op)
+    slot_ids = jnp.arange(S, dtype=jnp.int32)[None, :]
+    winslot = jnp.min(jnp.where(eq, slot_ids, S), axis=1, keepdims=True)
+    sel = (slot_ids == winslot).astype(jnp.float32)
     R4 = (jnp.arange(S, dtype=jnp.int32)[:, None]
           == (lane // 4)[None, :]).astype(jnp.float32)
     K4 = ((lane % 4)[:, None]
@@ -709,8 +713,14 @@ def _span_sqdist(span_rows_arr: jax.Array, local: jax.Array,
     return d2, rows
 
 
+def _pallas_ok(cap: int) -> bool:
+    """The fused Pallas candidate kernel needs TPU + 128-aligned lanes."""
+    return (jax.default_backend() in ("tpu", "axon")
+            and (8 * cap * 4) % 128 == 0)
+
+
 @partial(jax.jit, static_argnames=("block_queries", "span_rows", "with_dst",
-                                   "unroll", "pair_view"))
+                                   "unroll", "pair_view", "pallas"))
 def nn1_radius_blocked(
     table: CellTable,
     queries: jax.Array,
@@ -720,6 +730,7 @@ def nn1_radius_blocked(
     with_dst: bool = False,
     unroll: bool = False,
     pair_view: bool = False,
+    pallas: bool = False,
 ):
     """nn1_radius for large DENSE tables: queries MUST be (approximately)
     sorted by their dense cell id; processed in ``block_queries`` chunks
@@ -875,6 +886,19 @@ def nn1_radius_blocked(
             span = jax.lax.dynamic_slice(
                 table.data, (span_start, 0), (span_rows, cap * 4))
             rows = span[jnp.clip(local, 0, span_rows - 1)].reshape(B, L)
+        if pallas:
+            # fused VMEM candidate kernel (ops/pallas_sweep.py): replaces
+            # the projection-matmul chain below with VPU lane rolls +
+            # argmin, removing its MXU time and block-loop scheduling
+            # slack (VERDICT r3 next-#1)
+            from pcl_tpu.ops.pallas_sweep import sweep_compute
+            best_d2, wini_f, trunc_k, win_xyz = sweep_compute(
+                rows, qb, ok, r2)
+            best_idx = _decode_idx(wini_f)
+            trunc = trunc_k | jnp.any(miss, axis=1)
+            if with_dst:
+                return best_idx, best_d2, trunc, win_xyz
+            return best_idx, best_d2, trunc
         q4 = jnp.concatenate([qb, jnp.zeros_like(qb[:, :1])], axis=1)
         qbl = jnp.dot(q4, T4, preferred_element_type=jnp.float32)   # [B,L]
         diff = jnp.clip((rows - qbl) * is_coord_l[None, :], -1e15, 1e15)
@@ -888,8 +912,11 @@ def nn1_radius_blocked(
         # empty slot, sel picks slot 0 and the garbage winner is masked
         # downstream by the d2=inf validity
         eq = (d2 == best_d2[:, None])
-        sel = (eq & (jnp.cumsum(eq.astype(jnp.int32), axis=1) == 1)
-               ).astype(jnp.float32)                        # [B,S]
+        # first-match via min over slot ids (cumsum lowered to an O(S^2)
+        # reduce-window: 13.2 ms/iter at 1M, the trace's top op)
+        slot_ids = jnp.arange(S, dtype=jnp.int32)[None, :]
+        winslot = jnp.min(jnp.where(eq, slot_ids, S), axis=1, keepdims=True)
+        sel = (slot_ids == winslot).astype(jnp.float32)     # [B,S]
         sel4 = jnp.dot(sel, R4, preferred_element_type=jnp.float32)  # [B,L]
         win = jnp.dot(sel4 * rows, K4,
                       preferred_element_type=jnp.float32)   # [B,4]
