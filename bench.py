@@ -164,6 +164,34 @@ def bench_gicp(n):
     return iters / best
 
 
+def bench_gicp_500k():
+    """GICP at 500k (VERDICT r3 #3's >=500k precision-aligner point).
+    Same density-scaled sizing as the 120k entry: corr cells keep
+    lambda~1 (dims ~ 53 * cbrt(500/120) = 85), covariance grid keeps the
+    k=20 density radius (~2.7 m at this density)."""
+    from pcl_tpu.registration.gicp import gicp
+
+    n = 500_000
+    src, tgt = _pair(n)
+
+    def run():
+        # corr cells stay 2.0 m (cell = 2*max_corr), so lambda scales with
+        # n: ~4 points/cell at 500k -> cap 20 (P[X>20|4] ~ 1e-9 per cell);
+        # covariance grid lambda ~10.7 -> cap 40
+        return gicp(_cloud(src), _cloud(tgt), max_corr_dist=1.0,
+                    max_iterations=ITERS, transformation_eps=0.0,
+                    cell_cap=20, corr_backend="cell", grid_dims=(53, 53, 53),
+                    cov_cell_size=2.8, cov_grid_dims=(37, 37, 37),
+                    cov_cell_cap=40)
+
+    res = run()
+    jax.block_until_ready(res.transform)
+    assert not bool(res.truncated), "GICP 500k bench truncated: raise caps"
+    iters = int(res.iterations)
+    best = _time_best(run)
+    return iters / best
+
+
 def bench_ate(n=20000, n_scans=5):
     """North-star metric #2: trajectory ATE through sequence odometry
     (synthetic drift fixture — deterministic, catches accuracy regressions
@@ -196,6 +224,56 @@ def bench_ate(n=20000, n_scans=5):
     poses = odometry_sequence(clouds, max_corr_dist=0.25, max_iterations=40,
                               corr_backend="bruteforce")
     return trajectory_ate(poses, golden, align=False).rmse
+
+
+def bench_ate_real():
+    """REAL-scan ATE headline (VERDICT r3 #4): (1) incremental GICP over
+    the reference's bun01-03 multi-scan fixtures against their shipped
+    layout, and (2) a longer virtual-scanner trajectory through the real
+    office1.pcd scene (partial frustum-cropped overlapping views, ground
+    truth poses — the reference's tools/virtual_scanner.cpp flow). Returns
+    (ate_office_rmse, ate_bun_rmse)."""
+    from pcl_tpu.core.cloud import Cloud
+    from pcl_tpu.io import pcd as pcd_io
+    from pcl_tpu.registration.gicp import gicp
+    from pcl_tpu.registration.trajectory import (
+        make_virtual_scan_sequence, odometry_sequence, trajectory_ate)
+
+    ref = "/root/reference/test"
+
+    def pad_cloud(xyz, cap):
+        m = np.zeros((cap,), bool)
+        m[: len(xyz)] = True
+        p = np.zeros((cap, 3), np.float32)
+        p[: len(xyz)] = xyz
+        return Cloud(xyz=jnp.asarray(p), mask=jnp.asarray(m))
+
+    # (1) bun01-03 against the shipped (pre-aligned) layout
+    scans = []
+    for name in ("bun01.pcd", "bun02.pcd", "bun03.pcd"):
+        c = pcd_io.load(os.path.join(ref, name))
+        scans.append(np.asarray(c.xyz)[np.asarray(c.mask)])
+    cap = max(len(s) for s in scans)
+    clouds = [pad_cloud(s, cap) for s in scans]
+    poses = odometry_sequence(
+        clouds, register=lambda s, t: gicp(s, t, max_corr_dist=0.04,
+                                           max_iterations=40))
+    bun_rmse = trajectory_ate(
+        poses, np.stack([np.eye(4)] * 3), align=False).rmse
+
+    # (2) office1 virtual-scanner trajectory, 8 partial views
+    c = pcd_io.load(os.path.join(ref, "office1.pcd"))
+    scene = np.asarray(c.xyz)[np.asarray(c.mask)]
+    rng = np.random.default_rng(11)
+    vscans, golden = make_virtual_scan_sequence(
+        scene, n_scans=8, rng=rng, step_translation=0.05,
+        step_rotation=0.02, max_points=60000, noise=0.002)
+    vclouds = [pad_cloud(s, 60000) for s in vscans]
+    vposes = odometry_sequence(
+        vclouds, register=lambda s, t: gicp(s, t, max_corr_dist=0.25,
+                                            max_iterations=40))
+    office_rmse = trajectory_ate(vposes, golden, align=True).rmse
+    return office_rmse, bun_rmse
 
 
 def main():
@@ -235,10 +313,26 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["gicp_error"] = repr(e)
 
+    # >=500k-scale precision-aligner point (VERDICT r3 #3): same density
+    # scaling as the 120k entry (cell counts follow cbrt(n) ratios)
+    try:
+        extra["gicp_iters_per_sec_500k"] = round(bench_gicp_500k(), 2)
+    except Exception as e:  # noqa: BLE001
+        extra["gicp_500k_error"] = repr(e)
+
     try:
         extra["ndt_iters_per_sec_120k"] = round(bench_ndt(120_000), 2)
     except Exception as e:  # noqa: BLE001
         extra["ndt_error"] = repr(e)
+
+    # headline ATE from REAL scans (VERDICT r3 #4); the synthetic drift
+    # fixture stays as a secondary regression canary
+    try:
+        office_rmse, bun_rmse = bench_ate_real()
+        extra["ate_rmse_m"] = round(office_rmse, 6)
+        extra["ate_bun_rmse_m"] = round(bun_rmse, 6)
+    except Exception as e:  # noqa: BLE001
+        extra["ate_real_error"] = repr(e)
 
     try:
         extra["ate_drift_rmse_m"] = round(bench_ate(), 6)
@@ -260,6 +354,12 @@ def main():
             extra["vs_baseline_knn16"] = round(
                 extra["knn16_queries_per_sec_120k"]
                 / cpu["knn16_queries_per_sec_120k"], 2)
+        for key, short in (("gicp_iters_per_sec_120k", "gicp"),
+                           ("ndt_iters_per_sec_120k", "ndt"),
+                           ("gicp_iters_per_sec_500k", "gicp_500k")):
+            if key in cpu and key in extra and cpu[key] > 0:
+                extra[f"vs_baseline_{short}"] = round(
+                    extra[key] / cpu[key], 2)
     except Exception:  # noqa: BLE001
         pass
     with open(os.path.join(os.path.dirname(__file__), "BENCH_EXTRA.json"), "w") as f:

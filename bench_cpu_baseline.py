@@ -191,6 +191,129 @@ def bm_sac_cylinder(xyz, normals, thresh=0.02, hypotheses=1024):
     return best
 
 
+def _gicp_pair(n, seed=0):
+    rng = np.random.default_rng(seed)
+    tgt = rng.uniform(-50, 50, size=(n, 3)).astype(np.float32)
+    src = tgt + rng.normal(scale=0.05, size=(n, 3)).astype(np.float32)
+    return src, tgt
+
+
+def gicp_iters_per_sec(n, iters=20, k=20, max_corr=1.0):
+    """CPU GICP proxy (VERDICT r3 #3), same work as reference
+    registration/impl/gicp.hpp:73-139 + the per-iteration loop:
+
+    one-time: k=20-NN covariances on BOTH clouds, regularized to
+    (1,1,eps) eigenvalues; per iteration: gated 1-NN correspondences,
+    per-pair Mahalanobis M = (C_t + C_s)^-1 (R~I proxy), weighted 6x6
+    Gauss-Newton normal equations + solve. Vectorized numpy (generous to
+    the CPU: PCL's own inner loop is scalar C++ with a BFGS line search).
+    Returns iterations/sec counting the covariance setup against the run
+    like align() does."""
+    src, tgt = _gicp_pair(n)
+    t_total0 = time.perf_counter()
+    cov = {}
+    for name, pts in (("s", src), ("t", tgt)):
+        tree = cKDTree(pts)
+        _d, idx = tree.query(pts, k=k, workers=1)
+        nbr = pts[idx]
+        mu = nbr.mean(axis=1, keepdims=True)
+        d = nbr - mu
+        C = np.einsum("nki,nkj->nij", d, d) / k
+        w, v = np.linalg.eigh(C)
+        # reference regularization: eigenvalues -> (eps, 1, 1)
+        w_reg = np.broadcast_to(np.array([1e-3, 1.0, 1.0]), w.shape)
+        cov[name] = np.einsum("nij,nj,nkj->nik", v, w_reg, v)
+    tree_t = cKDTree(tgt)
+    cur = src.copy()
+    for _ in range(iters):
+        d, idx = tree_t.query(cur, k=1, distance_upper_bound=max_corr,
+                              workers=1)
+        ok = np.isfinite(d)
+        idx = np.where(ok, idx, 0)
+        M = np.linalg.inv(cov["t"][idx] + cov["s"])        # [n,3,3]
+        r = tgt[idx] - cur                                  # residuals
+        # J rows: [I | -[p]x] — normal equations accumulated in 6x6
+        J = np.zeros((n, 3, 6), np.float32)
+        J[:, :, :3] = np.eye(3)
+        px, py, pz = cur[:, 0], cur[:, 1], cur[:, 2]
+        J[:, 0, 4], J[:, 0, 5] = pz, -py
+        J[:, 1, 3], J[:, 1, 5] = -pz, px
+        J[:, 2, 3], J[:, 2, 4] = py, -px
+        MJ = np.einsum("nij,njk->nik", M, J)
+        w = ok.astype(np.float32)[:, None, None]
+        H = np.einsum("nij,nik->jk", J * w, MJ)
+        g = np.einsum("nij,ni->j", MJ * w, r)
+        delta = np.linalg.solve(H + 1e-6 * np.eye(6), g)
+        # apply the translation part (proxy update; cost is what matters)
+        cur = cur + delta[:3][None, :].astype(np.float32)
+    total = time.perf_counter() - t_total0
+    return iters / total
+
+
+def ndt_iters_per_sec(n, iters=20, resolution=4.0):
+    """CPU NDT proxy (VERDICT r3 #3), same work as reference
+    registration/impl/ndt.hpp:111-170,211: one-time VoxelGridCovariance
+    target grid (mean/cov/icov per voxel), then per iteration the
+    per-point Gaussian score + analytic 6-gradient + 6x6 Hessian
+    accumulation, Newton solve, and one step-length re-evaluation of the
+    score (More-Thuente does several; one is generous)."""
+    src, tgt = _gicp_pair(n)
+    t0 = time.perf_counter()
+    # --- voxel Gaussian grid over the target
+    coords = np.floor(tgt / resolution).astype(np.int64)
+    cmin = coords.min(0)
+    span = coords.max(0) - cmin + 1
+    lin = ((coords[:, 2] - cmin[2]) * span[1] + (coords[:, 1] - cmin[1])) \
+        * span[0] + (coords[:, 0] - cmin[0])
+    order = np.argsort(lin)
+    lin_s = lin[order]
+    tgt_s = tgt[order]
+    starts = np.searchsorted(lin_s, np.unique(lin_s))
+    sums = np.add.reduceat(tgt_s, starts)
+    cnts = np.diff(np.append(starts, len(lin_s)))[:, None]
+    means = sums / cnts
+    # per-voxel covariances (vectorized two-pass)
+    sq = np.add.reduceat(np.einsum("ni,nj->nij", tgt_s, tgt_s).reshape(len(tgt_s), 9), starts)
+    covs = sq.reshape(-1, 3, 3) / cnts[:, :, None] \
+        - np.einsum("ni,nj->nij", means, means)
+    covs += 1e-3 * np.eye(3)
+    icovs = np.linalg.inv(covs)
+    uniq = np.unique(lin_s)
+    vox_of = {int(u): i for i, u in enumerate(uniq)}
+    cur = src.copy()
+    gauss_d1, gauss_d2 = 1.0, 0.05
+    for _ in range(iters):
+        c = np.floor(cur / resolution).astype(np.int64)
+        l = ((c[:, 2] - cmin[2]) * span[1] + (c[:, 1] - cmin[1])) \
+            * span[0] + (c[:, 0] - cmin[0])
+        vi = np.searchsorted(uniq, l)
+        vi = np.clip(vi, 0, len(uniq) - 1)
+        hit = uniq[vi] == l
+        mu = means[vi]
+        ic = icovs[vi]
+        d = cur - mu
+        icd = np.einsum("nij,nj->ni", ic, d)
+        e = np.exp(-0.5 * gauss_d2 * np.einsum("ni,ni->n", d, icd))
+        w = np.where(hit, gauss_d1 * gauss_d2 * e, 0.0)
+        # analytic gradient/Hessian over the 6-pose (small-angle jacobian)
+        J = np.zeros((n, 3, 6), np.float32)
+        J[:, :, :3] = np.eye(3)
+        px, py, pz = cur[:, 0], cur[:, 1], cur[:, 2]
+        J[:, 0, 4], J[:, 0, 5] = pz, -py
+        J[:, 1, 3], J[:, 1, 5] = -pz, px
+        J[:, 2, 3], J[:, 2, 4] = py, -px
+        icJ = np.einsum("nij,njk->nik", ic, J)
+        grad = np.einsum("n,ni,nik->k", w, d, icJ)
+        H = np.einsum("n,nij,nik->jk", w, icJ, icJ)
+        delta = np.linalg.solve(H + 1e-6 * np.eye(6), -grad)
+        # one More-Thuente-style score re-evaluation at the trial step
+        trial = cur + delta[:3][None, :].astype(np.float32)
+        dt = trial - mu
+        _ = np.exp(-0.5 * gauss_d2 * np.einsum("ni,nij,nj->n", dt, ic, dt))
+        cur = trial
+    return iters / (time.perf_counter() - t0)
+
+
 def main():
     quick = "--quick" in sys.argv
     out = {}
@@ -236,6 +359,17 @@ def main():
     ips, build_s = icp_iters_per_sec(n_big)
     out[f"icp_iters_per_sec_{'200k' if quick else '1m'}"] = round(ips, 3)
     out["icp_tree_build_s_1m" if not quick else "icp_tree_build_s_200k"] = round(build_s, 3)
+
+    # GICP / NDT proxies at the bench.py configs (120k pair, 20 iters;
+    # VERDICT r3 #3) + the >=500k-scale GICP point
+    n_gicp = 20_000 if quick else 120_000
+    out[f"gicp_iters_per_sec_{'20k' if quick else '120k'}"] = round(
+        gicp_iters_per_sec(n_gicp), 3)
+    out[f"ndt_iters_per_sec_{'20k' if quick else '120k'}"] = round(
+        ndt_iters_per_sec(n_gicp), 3)
+    if not quick:
+        out["gicp_iters_per_sec_500k"] = round(
+            gicp_iters_per_sec(500_000), 3)
 
     with open(os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json"), "w") as f:
         json.dump(out, f, indent=1)

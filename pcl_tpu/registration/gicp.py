@@ -77,7 +77,12 @@ def regularized_covariances(
             else _knn_density_radius(xyz, mask, k)
         table = cell_list.build(xyz, mask, r, table_size=table_size,
                                 cap=cell_cap, dims=grid_dims)
-        idx, d2, valid, trunc = cell_list.knn_radius(table, xyz, k)
+        # block the queries: the [Q, 27*cap] candidate tensors of a whole
+        # 500k cloud at cap 40 are ~9 GB each — _map_blocks bounds the
+        # working set like the unified search wrapper does
+        from pcl_tpu.search import _map_blocks
+        idx, d2, valid, trunc = _map_blocks(
+            lambda q: cell_list.knn_radius(table, q, k), xyz, 27 * cell_cap)
         trunc_any = jnp.any(trunc & mask)
     else:
         idx, d2, valid = bruteforce.knn(xyz, mask, xyz, k)

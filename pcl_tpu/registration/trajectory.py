@@ -162,6 +162,58 @@ def odometry_sequence(
     return np.stack(poses)
 
 
+def make_virtual_scan_sequence(
+    scene_xyz: np.ndarray,
+    n_scans: int,
+    rng: np.random.Generator,
+    step_translation: float = 0.05,
+    step_rotation: float = 0.02,
+    fov_tan: float = 1.2,
+    z_range: tuple = (0.3, 8.0),
+    max_points: int = 60000,
+    noise: float = 0.002,
+) -> tuple:
+    """Virtual-scanner odometry fixture over a REAL scene cloud (the
+    reference's tools/virtual_scanner.cpp analog, VERDICT r3 #4): a
+    camera walks a smooth random trajectory through the scene; each scan
+    is the scene expressed in the camera frame, cropped to the camera's
+    view frustum (|x|,|y| <= fov_tan*z, z in z_range), subsampled to
+    ``max_points`` and perturbed by ``noise``. Returns (scans, golden
+    camera poses [M,4,4] with pose_k mapping scan k's frame into scan 0's
+    frame) — partial overlapping views with ground truth, unlike
+    make_drift_sequence's full-scene copies."""
+    from scipy.spatial.transform import Rotation
+
+    M = n_scans
+    poses = [np.eye(4)]
+    for _ in range(M - 1):
+        ax = rng.normal(size=3)
+        ax /= max(np.linalg.norm(ax), 1e-9)
+        ang = rng.uniform(0.3, 1.0) * step_rotation
+        dt = rng.normal(size=3)
+        dt *= step_translation / max(np.linalg.norm(dt), 1e-9)
+        D = np.eye(4)
+        D[:3, :3] = Rotation.from_rotvec(ax * ang).as_matrix()
+        D[:3, 3] = dt
+        poses.append(poses[-1] @ D)
+    poses = np.stack(poses)
+    scans = []
+    for k in range(M):
+        inv = np.linalg.inv(poses[k])
+        s = scene_xyz @ inv[:3, :3].T + inv[:3, 3]
+        z = s[:, 2]
+        vis = (z > z_range[0]) & (z < z_range[1]) \
+            & (np.abs(s[:, 0]) <= fov_tan * z) \
+            & (np.abs(s[:, 1]) <= fov_tan * z)
+        s = s[vis]
+        if len(s) > max_points:
+            s = s[rng.choice(len(s), max_points, replace=False)]
+        if noise > 0:
+            s = s + rng.normal(scale=noise, size=s.shape)
+        scans.append(s.astype(np.float32))
+    return scans, poses.astype(np.float64)
+
+
 def make_drift_sequence(
     scene_xyz: np.ndarray,
     n_scans: int,

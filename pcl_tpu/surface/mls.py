@@ -58,14 +58,16 @@ def moving_least_squares(
     idx, d2, valid, count = bruteforce.radius(xyz, mask, xyz, search_radius, cap=k)
     idxc = jnp.clip(idx, 0, n - 1)
     valid = valid & mask[:, None]
-    w = jnp.where(valid, jnp.exp(-d2 / h2), 0.0)            # [N,k]
 
     nbr = xyz[idxc]                                         # [N,k,3]
-    # weighted plane fit
-    wsum = jnp.maximum(jnp.sum(w, axis=1), _EPS)
-    mu = jnp.einsum("nk,nki->ni", w, nbr) / wsum[:, None]
-    dc = nbr - mu[:, None, :]
-    cov = jnp.einsum("nk,nki,nkj->nij", w, dc, dc) / wsum[:, None, None]
+    # UNWEIGHTED plane fit, like the reference (mls.hpp:700-711 uses plain
+    # compute3DCentroid/computeCovarianceMatrix; the Gaussian weights only
+    # enter the polynomial stage below) — golden-pinned curvature on bun0
+    vf = valid.astype(jnp.float32)
+    csum = jnp.maximum(jnp.sum(vf, axis=1), _EPS)
+    mu = jnp.einsum("nk,nki->ni", vf, nbr) / csum[:, None]
+    dc = jnp.where(valid[..., None], nbr - mu[:, None, :], 0.0)
+    cov = jnp.einsum("nk,nki,nkj->nij", vf, dc, dc) / csum[:, None, None]
     lam, V = geometry.eigh33(cov)
     nrm = V[..., :, 0]                                      # plane normal
     # orient towards the original point side for stability
@@ -80,6 +82,10 @@ def moving_least_squares(
     dist_pt = jnp.sum(to_pt * nrm, axis=-1)                 # signed height of query
     foot = xyz - dist_pt[:, None] * nrm
     rel = nbr - foot[:, None, :]
+    # polynomial weights use distances to the PROJECTED query (the
+    # reference re-derives the weight distances after projection,
+    # mls.hpp:758-762)
+    w = jnp.where(valid, jnp.exp(-jnp.sum(rel * rel, axis=-1) / h2), 0.0)
     u = jnp.einsum("nki,ni->nk", rel, e_u)
     v = jnp.einsum("nki,ni->nk", rel, e_v)
     hgt = jnp.einsum("nki,ni->nk", rel, nrm)
@@ -114,5 +120,10 @@ def moving_least_squares(
         )
         mls_n = jnp.where(enough[:, None], mls_n, nrm)
         mls_n = jnp.where(mask[:, None], mls_n, 0.0)
-        out = out.with_attrs(**{ATTR_NORMAL: mls_n})
+        # curvature like the reference: smallest eigenvalue over the trace
+        # of the weighted plane-fit covariance (mls.hpp computeMLSSurface;
+        # golden-pinned 0.012019 at bun0 point 0)
+        curv = lam[:, 0] / jnp.maximum(lam.sum(axis=1), _EPS)
+        curv = jnp.where(mask & enough, curv, 0.0)
+        out = out.with_attrs(**{ATTR_NORMAL: mls_n, "curvature": curv})
     return out

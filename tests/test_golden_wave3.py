@@ -1,0 +1,137 @@
+"""Golden-parity wave 3 (VERDICT r3 #5): keypoints, MLS, SAC plane model,
+region growing — pinned to the reference's own test asserts on the shipped
+fixtures.
+
+Sources:
+- ISS3D:          reference test/keypoints/test_iss_3d.cpp:56-98 (WBE)
+- MLS:            reference test/surface/test_moving_least_squares.cpp:100-118
+- SAC plane:      reference test/sample_consensus/
+                  test_sample_consensus_plane_models.cpp:66-110
+- region growing: reference test/segmentation/test_segmentation.cpp:115-137
+                  (SegmentWithIndices: 5 clusters)
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import reference_pcd
+from pcl_tpu.core.cloud import Cloud
+from pcl_tpu.io import pcd as pcd_io
+
+
+def _load(name):
+    c = pcd_io.load(reference_pcd(name))
+    xyz = np.asarray(c.xyz)[np.asarray(c.mask)]
+    return xyz
+
+
+def _cloud(xyz, attrs=None):
+    return Cloud(xyz=jnp.asarray(xyz), mask=jnp.ones(len(xyz), bool),
+                 attrs=attrs or {})
+
+
+class TestISSGolden:
+    def test_iss_wbe_bun0(self):
+        """ISS without boundary estimation on bun0: exactly the 6 reference
+        keypoints (test_iss_3d.cpp:77-88, resolution 0.0058329)."""
+        from pcl_tpu.keypoints import iss3d_keypoints
+        xyz = _load("bun0.pcd")
+        res = 0.0058329
+        kp_mask, _sal = iss3d_keypoints(
+            _cloud(xyz), salient_radius=6 * res, non_max_radius=4 * res,
+            gamma_21=0.975, gamma_32=0.975, min_neighbors=5, k=256)
+        kps = xyz[np.asarray(kp_mask)]
+        gold = np.array([
+            [-0.071112, 0.137670, 0.047518],
+            [-0.041733, 0.127960, 0.016650],
+            [-0.011943, 0.086771, 0.057009],
+            [0.031733, 0.099372, 0.038505],
+            [-0.062116, 0.045145, 0.037802],
+            [-0.048250, 0.167480, -0.000152],
+        ])
+        assert len(kps) == len(gold), (len(kps), kps)
+        # order-free match: every golden keypoint appears (the reference
+        # emits in index order; ours is index order too, but compare as a
+        # set to stay layout-agnostic)
+        d = np.linalg.norm(kps[:, None, :] - gold[None, :, :], axis=-1)
+        assert (d.min(axis=0) < 1e-4).all(), d.min(axis=0)
+
+
+class TestMLSGolden:
+    def test_mls_bun0_point0(self):
+        """MLS order-2, r=0.03 on bun0: smoothed point 0 position, |normal|
+        and curvature (test_moving_least_squares.cpp:111-118, tol 1e-3)."""
+        from pcl_tpu.surface import moving_least_squares
+        xyz = _load("bun0.pcd")
+        out = moving_least_squares(_cloud(xyz), search_radius=0.03,
+                                   polynomial_order=2, k=96,
+                                   compute_normals=True)
+        p0 = np.asarray(out.xyz)[0]
+        n0 = np.abs(np.asarray(out.attrs["normal"])[0])
+        c0 = float(np.asarray(out.attrs["curvature"])[0])
+        np.testing.assert_allclose(p0, [0.005417, 0.113463, 0.040715],
+                                   atol=1e-3)
+        np.testing.assert_allclose(n0, [0.111894, 0.594906, 0.795969],
+                                   atol=1e-3)
+        assert abs(c0 - 0.012019) < 1e-3, c0
+
+
+class TestSACPlaneGolden:
+    def test_plane_sac_plane_test(self):
+        """RANSAC plane on sac_plane_test.pcd: normalized coefficients,
+        inlier count, refined fit and inlier projections
+        (test_sample_consensus_plane_models.cpp verifyPlaneSac)."""
+        import jax
+        from pcl_tpu import sac
+        from pcl_tpu.sac import ransac
+        xyz = _load("sac_plane_test.pcd")
+        c = _cloud(xyz)
+        model = sac.PlaneModel()
+        res = ransac(model, c.xyz, c.mask, 0.03,
+                     key=jax.random.PRNGKey(0), n_hypotheses=512)
+        coeff = np.asarray(res.coefficients, np.float64)
+        inl = np.asarray(res.inliers)
+        assert inl.sum() > 2000, inl.sum()
+        gold = np.array([-0.8964, -0.5868, -1.208])
+        got = coeff[:3] / coeff[3]
+        np.testing.assert_allclose(got, gold, atol=1e-1)
+        # refined coefficients (optimizeModelCoefficients analog)
+        ref = np.asarray(model.refine(res.coefficients, c.xyz,
+                                      res.inliers.astype(jnp.float32)),
+                         np.float64)
+        np.testing.assert_allclose(ref[:3] / ref[3], gold, atol=1e-1)
+        # projections of inliers 20/30/50 (ascending index order, like the
+        # reference's inlier list) onto the refined plane
+        proj = np.asarray(model.project(jnp.asarray(ref, jnp.float32),
+                                        c.xyz))
+        inl_idx = np.nonzero(inl)[0]
+        p = proj[inl_idx]
+        np.testing.assert_allclose(p[20], [1.1266, 0.0152, -0.0156],
+                                   atol=1e-2)
+        np.testing.assert_allclose(p[30], [1.1843, -0.0635, -0.0201],
+                                   atol=1e-2)
+        np.testing.assert_allclose(p[50], [1.0749, -0.0586, 0.0587],
+                                   atol=1e-2)
+
+
+class TestRegionGrowingGolden:
+    def test_region_growing_colored_cloud_indices(self):
+        """RegionGrowing over colored_cloud.pcd restricted to indices
+        [611:], dummy normals all +z: exactly 5 clusters
+        (test_segmentation.cpp SegmentWithIndices, defaults: 30
+        neighbours, min size 1)."""
+        from pcl_tpu.segmentation import region_growing
+        c = pcd_io.load(reference_pcd("colored_cloud.pcd"))
+        xyz = np.asarray(c.xyz)
+        mask = np.asarray(c.mask).copy()
+        mask[:611] = False
+        normals = np.zeros_like(xyz)
+        normals[:, 2] = 1.0
+        cl = Cloud(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask),
+                   attrs={"normal": jnp.asarray(normals),
+                          "curvature": jnp.zeros((len(xyz),), jnp.float32)})
+        labels, n_clusters = region_growing(
+            cl, smoothness_threshold=30.0 / 180.0 * np.pi,
+            curvature_threshold=0.05, k=30, min_cluster_size=1)
+        assert int(n_clusters) == 5, int(n_clusters)

@@ -127,6 +127,36 @@ class TestSyntheticDriftOdometry:
         assert r.rmse < 6e-3, r
 
 
+class TestVirtualScanSequence:
+    """Virtual-scanner odometry over the real office1 scene (the bench's
+    ate_rmse_m headline path, VERDICT r3 #4): partial frustum-cropped
+    views with ground-truth poses; aligned ATE must stay within a pinned
+    threshold."""
+
+    def test_office_virtual_scans(self):
+        from conftest import reference_pcd
+        from pcl_tpu.io import pcd as pcd_io
+        from pcl_tpu.registration.trajectory import (
+            make_virtual_scan_sequence, odometry_sequence, trajectory_ate)
+        c = pcd_io.load(reference_pcd("office1.pcd"))
+        scene = np.asarray(c.xyz)[np.asarray(c.mask)]
+        rng = np.random.default_rng(11)
+        scans, golden = make_virtual_scan_sequence(
+            scene, n_scans=4, rng=rng, step_translation=0.05,
+            step_rotation=0.02, max_points=8000, noise=0.002)
+        assert all(len(s) > 2000 for s in scans), [len(s) for s in scans]
+        # partial views genuinely differ (frustum crop does something)
+        assert len(scans[0]) <= 8000
+        clouds = [_cloud(s) for s in scans]
+        poses = odometry_sequence(clouds, max_corr_dist=0.25,
+                                  max_iterations=40,
+                                  corr_backend="bruteforce")
+        r = trajectory_ate(poses, golden, align=True)
+        # 2 mm noise, 8k-point partial views: a healthy odometry stays in
+        # the few-mm band; divergence lands at decimeters
+        assert r.rmse < 2e-2, r
+
+
 class TestBunnySequenceATE:
     """Real multi-scan data (reference fixtures bun01-03): the scans arrive
     roughly pre-aligned, so golden poses = identity; incremental GICP
