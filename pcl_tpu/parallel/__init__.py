@@ -1,4 +1,25 @@
-from pcl_tpu.parallel.mesh import make_mesh, shard_cloud
-from pcl_tpu.parallel.icp_sharded import sharded_icp_step, sharded_icp
+"""Multi-device parallel layer: meshes, sharded clouds, sharded ICP/TSDF,
+multi-host runtime.
+
+Lazy re-exports (PEP 562): ``pcl_tpu.parallel.runtime`` must stay
+importable BEFORE ``jax.distributed.initialize`` runs, and the sibling
+modules create jnp constants at import time (which initializes the XLA
+backend — fatal for a multi-process worker that hasn't called
+initialize_multihost yet)."""
+
+_LAZY = {
+    "make_mesh": "pcl_tpu.parallel.mesh",
+    "shard_cloud": "pcl_tpu.parallel.mesh",
+    "sharded_icp_step": "pcl_tpu.parallel.icp_sharded",
+    "sharded_icp": "pcl_tpu.parallel.icp_sharded",
+}
 
 __all__ = ["make_mesh", "shard_cloud", "sharded_icp_step", "sharded_icp"]
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        mod = importlib.import_module(_LAZY[name])
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
