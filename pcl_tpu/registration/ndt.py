@@ -154,13 +154,13 @@ def build_grid(
 def _gauss_constants(resolution, outlier_ratio: float = 0.55):
     """d1/d2 of the log-mixture approximation (reference: ndt.hpp:111-130)."""
     gauss_c1 = 10.0 * (1.0 - outlier_ratio)
-    gauss_c2 = outlier_ratio / float(resolution) ** 3
+    gauss_c2 = outlier_ratio / jnp.asarray(resolution, jnp.float32) ** 3
     gauss_d3 = -jnp.log(gauss_c2)
     d1 = -jnp.log(gauss_c1 + gauss_c2) - gauss_d3
     d2 = -2.0 * jnp.log(
         (-jnp.log(gauss_c1 * jnp.exp(-0.5) + gauss_c2) - gauss_d3) / d1
     )
-    return jnp.float32(d1), jnp.float32(d2)
+    return jnp.asarray(d1, jnp.float32), jnp.asarray(d2, jnp.float32)
 
 
 class NDTResult(NamedTuple):
@@ -177,6 +177,8 @@ class NDTResult(NamedTuple):
         "min_points", "outlier_ratio", "step_size",
     ),
 )
+@partial(jax.jit, static_argnames=("max_iterations", "neighborhood",
+                                   "table_size", "min_points"))
 def ndt(
     source: Cloud,
     target: Cloud,

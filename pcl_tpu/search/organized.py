@@ -93,6 +93,47 @@ def knn(
     return flat, dd, ok
 
 
+@partial(jax.jit, static_argnames=("k", "window"))
+def self_knn(
+    xyz_img: jax.Array,     # [H,W,3]
+    valid: jax.Array,       # [H,W] bool
+    k: int,
+    window: int = 9,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """k nearest neighbors of every pixel among its window x window image
+    neighborhood — the organized self-query fast path (every query IS a
+    pixel, so no projection is needed; reference organized.h uses the same
+    window-bounded approximation). Candidate gathering is pure image ROLLS
+    (no hash table, no HBM gathers) and selection sorts only
+    window^2 lanes instead of the cell list's 27*cap.
+
+    Returns (flat pixel indices [H*W,k], sqdist [H*W,k], valid [H*W,k]).
+    """
+    H, W, _ = xyz_img.shape
+    r = window // 2
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    d2s, offs = [], []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            sh = jnp.roll(jnp.roll(xyz_img, -dy, 0), -dx, 1)
+            sv = jnp.roll(jnp.roll(valid, -dy, 0), -dx, 1)
+            inb = ((yy + dy >= 0) & (yy + dy < H)
+                   & (xx + dx >= 0) & (xx + dx < W))
+            d2 = jnp.sum((sh - xyz_img) ** 2, axis=-1)
+            d2s.append(jnp.where(sv & inb & valid, d2, jnp.inf))
+            offs.append(dy * W + dx)
+    D = jnp.stack(d2s, axis=-1).reshape(H * W, len(offs))   # [Q,w^2]
+    lane = jnp.arange(len(offs), dtype=jnp.int32)
+    Ds, Ls = jax.lax.sort(
+        (D, jnp.broadcast_to(lane[None, :], D.shape)), num_keys=1)
+    dd = jax.lax.slice_in_dim(Ds, 0, k, axis=1)
+    wl = jax.lax.slice_in_dim(Ls, 0, k, axis=1)             # winner lanes
+    flat = (yy * W + xx).reshape(-1, 1) + jnp.asarray(offs, jnp.int32)[wl]
+    ok = jnp.isfinite(dd)
+    return jnp.where(ok, flat, 0), dd, ok
+
+
 @partial(jax.jit, static_argnames=("cap", "window"))
 def radius(
     search: OrganizedSearch,

@@ -144,6 +144,212 @@ def eval_bspline_surface(surf: BSplineSurface, uv: jax.Array) -> jax.Array:
     return local @ surf.frame + surf.centroid
 
 
+@partial(jax.jit, static_argnames=("grid_u", "grid_v", "iterations",
+                                   "refine_steps"))
+def fit_bspline_surface_iterated(
+    cloud: Cloud,
+    grid_u: int = 10,
+    grid_v: int = 10,
+    interior_smoothness: float = 1e-3,
+    boundary_smoothness: float = 1e-1,
+    iterations: int = 3,
+    refine_steps: int = 2,
+) -> BSplineSurface:
+    """Iterated PDM surface fitting (reference: surface/include/pcl/surface/
+    on_nurbs/fitting_surface_pdm.h:46 — FittingSurface::assemble/solve
+    repeated with point re-parameterization, with separate
+    interior/boundary smoothness weights).
+
+    Each outer iteration: (1) solve the regularized least-squares system
+    for the control grid, (2) re-parameterize every point by Gauss-Newton
+    steps of (u,v) minimizing its distance TO THE CURRENT SURFACE (the
+    'PDM' in the reference's name — inverseMapping in
+    fitting_surface_pdm.h), and re-assemble. Boundary control points
+    (outermost ring of the grid) carry ``boundary_smoothness``
+    regularization; interior ones ``interior_smoothness`` — the
+    reference's setInvMapParams/interior_weight/boundary_weight split.
+    """
+    xyz, m = cloud.xyz, cloud.mask
+    w = m.astype(jnp.float32)
+    n = jnp.maximum(w.sum(), 1.0)
+    mu = (xyz * w[:, None]).sum(0) / n
+    d = (xyz - mu) * w[:, None]
+    cov = d.T @ d / n
+    lam, V = jnp.linalg.eigh(cov)
+    frame = V[:, ::-1].T
+    local = (xyz - mu) @ frame.T
+    lo = jnp.min(jnp.where(m[:, None], local[:, :2], jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(m[:, None], local[:, :2], -jnp.inf), axis=0)
+    scale = jnp.maximum(hi - lo, 1e-9)
+    uv0 = (local[:, :2] - lo) / scale
+
+    gu, gv = grid_u, grid_v
+    C = gu * gv
+    idx = jnp.arange(C).reshape(gu, gv)
+    Lap = jnp.zeros((C, C), jnp.float32)
+    for du, dv in ((1, 0), (0, 1)):
+        a = idx[: gu - du, : gv - dv].reshape(-1)
+        b = idx[du:, dv:].reshape(-1)
+        Lap = Lap.at[a, a].add(1.0).at[b, b].add(1.0)
+        Lap = Lap.at[a, b].add(-1.0).at[b, a].add(-1.0)
+    # split regularization: boundary ring vs interior
+    on_boundary = jnp.zeros((gu, gv), bool)
+    on_boundary = on_boundary.at[0, :].set(True).at[-1, :].set(True)
+    on_boundary = on_boundary.at[:, 0].set(True).at[:, -1].set(True)
+    wreg = jnp.where(on_boundary.reshape(-1), boundary_smoothness,
+                     interior_smoothness) * jnp.maximum(n / C, 1.0)
+    R = Lap * jnp.sqrt(wreg[None, :] * wreg[:, None]) + 1e-6 * jnp.eye(C)
+
+    def solve(uv):
+        iu, tu, iv, tv = _uv_cells(uv, gu, gv)
+        bu = _cubic_basis(tu)
+        bv = _cubic_basis(tv)
+        A = jnp.zeros((xyz.shape[0], C), jnp.float32)
+        for a in range(4):
+            for b in range(4):
+                A = A.at[jnp.arange(xyz.shape[0]),
+                         (iu + a) * gv + (iv + b)].add(
+                    bu[:, a] * bv[:, b] * w)
+        ctrl = jnp.linalg.solve(A.T @ A + R, A.T @ (local[:, 2] * w))
+        return ctrl
+
+    def height(ctrl, uv):
+        iu, tu, iv, tv = _uv_cells(uv, gu, gv)
+        bu = _cubic_basis(tu)
+        bv = _cubic_basis(tv)
+        cg = ctrl.reshape(gu, gv)
+        h = jnp.zeros(uv.shape[0], jnp.float32)
+        for a in range(4):
+            for b in range(4):
+                h = h + bu[:, a] * bv[:, b] * cg[
+                    jnp.clip(iu + a, 0, gu - 1), jnp.clip(iv + b, 0, gv - 1)]
+        return h
+
+    def reparam(ctrl, uv):
+        """Gauss-Newton (u,v) refinement minimizing the 3-D distance of
+        each point to the surface patch (inverseMapping analog)."""
+        target_h = local[:, 2]
+
+        def err(uvq):
+            # residual in local coords: (du, dv, dh) weighted by scale
+            h = height(ctrl, uvq)
+            ru = (uvq[:, 0] - uv0[:, 0]) * scale[0]
+            rv = (uvq[:, 1] - uv0[:, 1]) * scale[1]
+            rh = h - target_h
+            return ru * ru + rv * rv + rh * rh
+
+        cur = uv
+        for _ in range(refine_steps):
+            g = jax.grad(lambda q: jnp.sum(err(q)))(cur)
+            # diagonal GN step with a fixed damping (domain units)
+            cur = jnp.clip(cur - 0.1 * g / (scale[None, :] ** 2 + 1.0),
+                           0.0, 1.0)
+        return cur
+
+    uv = uv0
+    ctrl = solve(uv)
+    for _ in range(iterations - 1):
+        uv = reparam(ctrl, uv)
+        ctrl = solve(uv)
+    return BSplineSurface(control=ctrl.reshape(gu, gv),
+                          origin=lo, scale=scale, frame=frame, centroid=mu)
+
+
+class TrimmedBSplineSurface(NamedTuple):
+    """Surface + closed trim curve in the (u,v) parameter domain
+    (reference: on_nurbs trimmed-surface workflow —
+    fitting_curve_2d_pdm.h boundary curve fitted in the parameter plane,
+    stored as the surface's outer trim)."""
+    surface: BSplineSurface
+    trim: "BSplineCurve2D"       # closed curve in normalized (u,v)
+
+
+def _polygon_contains(poly: jax.Array, pts: jax.Array) -> jax.Array:
+    """Even-odd ray cast: poly [P,2] closed polygon, pts [M,2] -> bool."""
+    x, y = pts[:, 0:1], pts[:, 1:2]
+    x0, y0 = poly[None, :, 0], poly[None, :, 1]
+    x1 = jnp.roll(poly[:, 0], -1)[None, :]
+    y1 = jnp.roll(poly[:, 1], -1)[None, :]
+    cond = (y0 <= y) != (y1 <= y)
+    t = (y - y0) / jnp.where(jnp.abs(y1 - y0) > 1e-12, y1 - y0, 1e-12)
+    xi = x0 + t * (x1 - x0)
+    crossings = jnp.sum(cond & (xi > x), axis=1)
+    return (crossings % 2) == 1
+
+
+@partial(jax.jit, static_argnames=("grid_u", "grid_v", "n_trim_control",
+                                   "iterations"))
+def fit_trimmed_bspline_surface(
+    cloud: Cloud,
+    grid_u: int = 10,
+    grid_v: int = 10,
+    n_trim_control: int = 16,
+    iterations: int = 3,
+    interior_smoothness: float = 1e-3,
+    boundary_smoothness: float = 1e-1,
+) -> TrimmedBSplineSurface:
+    """Fit an iterated PDM surface AND its outer trim: the data's (u,v)
+    footprint boundary is fitted with a closed B-spline curve in the
+    parameter plane — the reference's trimmed-NURBS workflow
+    (fitting_surface_pdm + fitting_curve_2d_pdm over the projected
+    boundary, examples/surface/example_nurbs_fitting_surface.cpp)."""
+    surf = fit_bspline_surface_iterated(
+        cloud, grid_u, grid_v, interior_smoothness, boundary_smoothness,
+        iterations=iterations)
+    # data footprint in the parameter plane; the trim follows the OUTER
+    # CONTOUR (per-angular-bin maximal radius around the footprint
+    # centroid — the boundary points the reference's curve fitting
+    # consumes), not the interior mass
+    local = (cloud.xyz - surf.centroid) @ surf.frame.T
+    uv = (local[:, :2] - surf.origin) / surf.scale
+    w = cloud.mask.astype(jnp.float32)
+    cuv = (uv * w[:, None]).sum(0) / jnp.maximum(w.sum(), 1.0)
+    rel = uv - cuv
+    rad = jnp.linalg.norm(rel, axis=1)
+    nbins = 64
+    abin = jnp.clip(((jnp.arctan2(rel[:, 1], rel[:, 0]) / (2 * jnp.pi) + 0.5)
+                     * nbins).astype(jnp.int32), 0, nbins - 1)
+    rmax = jax.ops.segment_max(jnp.where(cloud.mask, rad, 0.0), abin,
+                               num_segments=nbins)
+    # empty bins inherit the global max (keeps the contour closed)
+    rmax = jnp.where(rmax > 0, rmax, jnp.max(rmax))
+    ang = (jnp.arange(nbins) + 0.5) / nbins * 2 * jnp.pi - jnp.pi
+    contour = cuv[None, :] + 1.02 * rmax[:, None] * jnp.stack(
+        [jnp.cos(ang), jnp.sin(ang)], axis=1)
+    trim = fit_bspline_curve2d(contour, jnp.ones((nbins,), bool),
+                               n_control=n_trim_control, smoothness=1e-3)
+    return TrimmedBSplineSurface(surface=surf, trim=trim)
+
+
+@partial(jax.jit, static_argnames=("n_poly",))
+def trimmed_surface_contains(ts: TrimmedBSplineSurface, uv: jax.Array,
+                             n_poly: int = 128) -> jax.Array:
+    """Inside-trim test for [M,2] normalized (u,v)."""
+    t = jnp.linspace(0.0, 1.0, n_poly, endpoint=False)
+    poly = eval_bspline_curve2d(ts.trim, t)
+    return _polygon_contains(poly, uv)
+
+
+@partial(jax.jit, static_argnames=("nu", "nv", "n_poly"))
+def eval_trimmed_bspline_surface(
+    ts: TrimmedBSplineSurface,
+    nu: int = 32,
+    nv: int = 32,
+    n_poly: int = 128,
+):
+    """Sample the trimmed surface on an [nu x nv] parameter grid.
+    Returns (points [nu*nv,3], inside [nu*nv] bool) — points outside the
+    trim are still evaluated but masked, the static-shape analog of the
+    reference's trimmed triangulation."""
+    u = jnp.linspace(0.0, 1.0, nu)
+    v = jnp.linspace(0.0, 1.0, nv)
+    uu, vv = jnp.meshgrid(u, v, indexing="ij")
+    uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=1)
+    pts = eval_bspline_surface(ts.surface, uv)
+    inside = trimmed_surface_contains(ts, uv, n_poly=n_poly)
+    return pts, inside
+
+
 class BSplineCurve2D(NamedTuple):
     control: jax.Array   # [G, 2] control points (closed: wraps mod G)
 

@@ -19,3 +19,9 @@ from pcl_tpu.visualization.plotter import (
     histogram_visualizer_svg,
     range_image_to_pgm,
 )
+from pcl_tpu.visualization.visualizer import (
+    Visualizer,
+    KeyboardEvent,
+    PointPickingEvent,
+    MouseEvent,
+)

