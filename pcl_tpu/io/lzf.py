@@ -82,9 +82,13 @@ long lzf_compress(const uint8_t *in, long in_len, uint8_t *out, long out_len) {
         long off;
         if (ref && (off = ip - ref - 1) < MAX_OFF && ref >= in
             && ref[0] == ip[0] && ref[1] == ip[1] && ref[2] == ip[2]) {
-            /* match: first flush literals */
-            long len = 2;
-            long maxlen = in_end - ip - 2;
+            /* match: first flush literals. Minimum emitted length is 3
+             * (ref[0..2]==ip[0..2] just verified): the format stores
+             * len-2 in a 3-bit field whose value 0 would alias into a
+             * LITERAL control byte — a "length-2 match" is unencodable
+             * and silently corrupted the stream near buffer ends. */
+            long len = 3;
+            long maxlen = in_end - ip;
             if (maxlen > MAX_REF) maxlen = MAX_REF;
             while (len < maxlen && ref[len] == ip[len]) len++;
             if (op + lit + 1 + 3 >= out_end) return 0;

@@ -9,3 +9,4 @@ linear octree.
 """
 
 from pcl_tpu.outofcore.store import OutofcoreOctree
+from pcl_tpu.outofcore.hierarchy import HierarchicalOutofcoreOctree

@@ -121,3 +121,19 @@ class TestFuzzPCD:
                b"VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 4000000000\nDATA binary\n"
                + b"\x00" * 64)
         _try_parse(pcd_io.load, _write(tmp_path, "huge.pcd", hdr))
+
+
+class TestLZFTailMatch:
+    def test_no_length2_match_emission(self):
+        """Regression (r4): the compressor could emit a 'length-2 match'
+        near the buffer end — unencodable in LZF (the 3-bit field stores
+        len-2, so 0 aliases into a literal control byte) — corrupting the
+        stream. Random f32 SoA blocks reproduce it reliably."""
+        import numpy as np
+        from pcl_tpu.io import lzf
+        rng = np.random.default_rng(0)
+        for _ in range(76):
+            n = int(rng.integers(2, 500))
+            pts = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+            soa = np.concatenate([pts[:, 0], pts[:, 1], pts[:, 2]]).tobytes()
+            assert lzf.decompress(lzf.compress(soa), len(soa)) == soa
