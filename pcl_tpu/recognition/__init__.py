@@ -32,3 +32,11 @@ from pcl_tpu.recognition.orr import (
     sample_oriented_point_pairs,
     pair_feature_hash_table,
 )
+from pcl_tpu.recognition.global_pipeline import (
+    GlobalModelDatabase,
+    GlobalRecognition,
+    train_global_database,
+    recognize_clusters,
+    segment_scene_clusters,
+    render_views,
+)
