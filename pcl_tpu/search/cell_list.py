@@ -400,10 +400,11 @@ def knn_radius(
     tightens the radius). Returns (idx [Q,k], sqdist [Q,k], valid [Q,k],
     truncated [Q]).
 
-    The k winners' indices ride the top-k sort as a PAYLOAD operand:
-    top_k + a [Q,k] take_along_axis lowered to per-element gathers
-    (profiled 28.7 of 72.7 ms at the 120k/k=16 bench point) — one
-    two-operand lax.sort + static slice replaces both."""
+    Selection strategy (measured at the bench points, see BASELINE.md):
+    power-of-two k uses the per-bucket sort + bitonic merge tree (~3x
+    fewer compare-exchange stages than one [Q, S] bitonic sort: 1.9M ->
+    2.5M q/s at the 120k/k=16 point); other k falls back to one
+    two-operand lax.sort."""
     buckets = _neighbor_buckets(table, queries)
     d2, rows = _packed_sqdist(table, buckets, queries)
     S = d2.shape[1]
@@ -420,10 +421,84 @@ def knn_radius(
         r2 = jnp.asarray(r, jnp.float32) ** 2
         d2 = jnp.where(d2 <= r2, d2, jnp.inf)
     d2 = jnp.where(_dedup_mask(table, queries, buckets), jnp.inf, d2)
-    d2s, idxs = jax.lax.sort((d2, idxf), num_keys=1)
-    dd = jax.lax.slice_in_dim(d2s, 0, k, axis=1)
-    idx = _decode_idx(jax.lax.slice_in_dim(idxs, 0, k, axis=1))
+    if k & (k - 1) == 0:
+        dd, idxs_k = _topk_tournament(d2, idxf, buckets.shape[1], k)
+        idx = _decode_idx(idxs_k)
+    else:
+        d2s, idxs = jax.lax.sort((d2, idxf), num_keys=1)
+        dd = jax.lax.slice_in_dim(d2s, 0, k, axis=1)
+        idx = _decode_idx(jax.lax.slice_in_dim(idxs, 0, k, axis=1))
     return idx, dd, jnp.isfinite(dd), truncated
+
+
+def _bitonic_merge_keep_k(da, pa, db, pb):
+    """Merge two ASCENDING [..., k] lists, keep the k smallest, sorted.
+
+    Classic bitonic merge: concat(a, reverse(b)) is bitonic; after the
+    first compare-exchange at distance k the LOWER half holds the k
+    smallest (itself bitonic), which log2(k) further stages sort. The
+    payload follows every exchange. All ops are reshapes + elementwise
+    min/max — no lax.sort."""
+    k = da.shape[-1]
+    d = jnp.concatenate([da, db[..., ::-1]], axis=-1)
+    p = jnp.concatenate([pa, pb[..., ::-1]], axis=-1)
+    # stage at distance k: lower half <- elementwise min pairs
+    lo_take = d[..., :k] <= d[..., k:]
+    dl = jnp.where(lo_take, d[..., :k], d[..., k:])
+    pl = jnp.where(lo_take, p[..., :k], p[..., k:])
+    s = k // 2
+    while s >= 1:
+        shape = dl.shape[:-1] + (k // (2 * s), 2, s)
+        d2v = dl.reshape(shape)
+        p2v = pl.reshape(shape)
+        a, b = d2v[..., 0, :], d2v[..., 1, :]
+        qa, qb = p2v[..., 0, :], p2v[..., 1, :]
+        take = a <= b
+        d2v = jnp.stack([jnp.where(take, a, b), jnp.where(take, b, a)],
+                        axis=-2)
+        p2v = jnp.stack([jnp.where(take, qa, qb), jnp.where(take, qb, qa)],
+                        axis=-2)
+        dl = d2v.reshape(dl.shape)
+        pl = p2v.reshape(pl.shape)
+        s //= 2
+    return dl, pl
+
+
+def _topk_tournament(d2: jax.Array, payload: jax.Array, n_groups: int,
+                     k: int):
+    """Top-k (ascending) of [Q, n_groups*cap] candidates laid out group-
+    major, via per-group sorts + a bitonic merge tree — replaces one wide
+    [Q, S] lax.sort whose bitonic network costs O(S log^2 S) stages (the
+    dominant op of knn/radius_search at fixture scale: 97 of 178 ms at
+    307k/S=864). Requires k a power of two; returns (d2 [Q,k],
+    payload [Q,k])."""
+    Q, S = d2.shape
+    cap = S // n_groups
+    d3 = d2.reshape(Q, n_groups, cap)
+    p3 = payload.reshape(Q, n_groups, cap)
+    # per-group ascending sort (narrow: log^2(cap) stages)
+    d3, p3 = jax.lax.sort((d3, p3), dimension=2, num_keys=1)
+    if cap < k:
+        pad = k - cap
+        d3 = jnp.pad(d3, ((0, 0), (0, 0), (0, pad)),
+                     constant_values=jnp.inf)
+        p3 = jnp.pad(p3, ((0, 0), (0, 0), (0, pad)))
+    else:
+        d3 = d3[..., :k]
+        p3 = p3[..., :k]
+    # pad the group count to a power of two with empty lists
+    G = 1
+    while G < n_groups:
+        G *= 2
+    if G != n_groups:
+        d3 = jnp.pad(d3, ((0, 0), (0, G - n_groups), (0, 0)),
+                     constant_values=jnp.inf)
+        p3 = jnp.pad(p3, ((0, 0), (0, G - n_groups), (0, 0)))
+    while G > 1:
+        d3, p3 = _bitonic_merge_keep_k(
+            d3[:, 0::2], p3[:, 0::2], d3[:, 1::2], p3[:, 1::2])
+        G //= 2
+    return d3[:, 0], p3[:, 0]
 
 
 @jax.jit
@@ -480,14 +555,31 @@ def radius_search(
     cap_out: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """All neighbors within r (up to cap_out nearest). Returns
-    (idx [Q,cap_out], sqdist, valid, count [Q], truncated [Q])."""
-    idx, dd, valid, truncated = knn_radius(table, queries, cap_out, r)
+    (idx [Q,cap_out], sqdist, valid, count [Q], truncated [Q]).
+
+    Single pass: the shared candidate tensor serves the top-cap_out
+    selection AND the in-radius count. Selection uses one [Q, S]
+    two-operand lax.sort — at the 307k/cap32 bench point it beats the
+    merge tree for the full (idx + d2) result (measured 229 vs 292
+    ms/op: the tree's idx payload path forces an expensive [Q, S]
+    extraction relayout that the monolithic sort's payload avoids)."""
     buckets = _neighbor_buckets(table, queries)
-    d2, _rows = _packed_sqdist(table, buckets, queries)
+    d2, rows = _packed_sqdist(table, buckets, queries)
+    S = d2.shape[1]
+    L = S * 4
+    lane = jnp.arange(L, dtype=jnp.int32)
+    Kidx = ((lane[:, None] // 4 == jnp.arange(S, dtype=jnp.int32)[None, :])
+            & (lane % 4 == 3)[:, None]).astype(jnp.float32)
+    idxf = jnp.dot(rows, Kidx, preferred_element_type=jnp.float32)
+    truncated = jnp.min(idxf, axis=1) < 0.0
     r2 = jnp.asarray(r, jnp.float32) ** 2
-    inside = (d2 <= r2) & ~_dedup_mask(table, queries, buckets)
-    count = jnp.sum(inside, axis=-1).astype(jnp.int32)
-    return idx, dd, valid, count, truncated
+    d2 = jnp.where(d2 <= r2, d2, jnp.inf)
+    d2 = jnp.where(_dedup_mask(table, queries, buckets), jnp.inf, d2)
+    count = jnp.sum(jnp.isfinite(d2), axis=-1).astype(jnp.int32)
+    d2s, idxs = jax.lax.sort((d2, idxf), num_keys=1)
+    dd = jax.lax.slice_in_dim(d2s, 0, cap_out, axis=1)
+    idx = _decode_idx(jax.lax.slice_in_dim(idxs, 0, cap_out, axis=1))
+    return idx, dd, jnp.isfinite(dd), count, truncated
 
 
 # --------------------------------------------------------------------------
