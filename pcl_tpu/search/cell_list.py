@@ -406,11 +406,20 @@ def knn_radius(
     2.5M q/s at the 120k/k=16 point); other k falls back to one
     two-operand lax.sort."""
     buckets = _neighbor_buckets(table, queries)
+    d2, idxf, truncated = _candidates(table, buckets, queries, r)
+    dd, idx = _select_k(d2, idxf, buckets.shape[1], k)
+    return idx, dd, jnp.isfinite(dd), truncated
+
+
+def _candidates(table: CellTable, buckets: jax.Array, queries: jax.Array,
+                r=None):
+    """Shared candidate prep for knn_radius/radius_search: packed
+    distances, idx lanes (one 0/1 matmul), overflow flag, optional radius
+    gate, dedup masking. Returns (d2 [Q,S], idxf [Q,S], truncated [Q])."""
     d2, rows = _packed_sqdist(table, buckets, queries)
     S = d2.shape[1]
     L = S * 4
     lane = jnp.arange(L, dtype=jnp.int32)
-    # per-slot idx lane extracted by one 0/1 matmul [L, S]
     Kidx = ((lane[:, None] // 4 == jnp.arange(S, dtype=jnp.int32)[None, :])
             & (lane % 4 == 3)[:, None]).astype(jnp.float32)
     idxf = jnp.dot(rows, Kidx, preferred_element_type=jnp.float32)  # [Q,S]
@@ -421,14 +430,19 @@ def knn_radius(
         r2 = jnp.asarray(r, jnp.float32) ** 2
         d2 = jnp.where(d2 <= r2, d2, jnp.inf)
     d2 = jnp.where(_dedup_mask(table, queries, buckets), jnp.inf, d2)
+    return d2, idxf, truncated
+
+
+def _select_k(d2: jax.Array, idxf: jax.Array, n_groups: int, k: int):
+    """Ascending top-k selection: merge tree for power-of-two k (wins at
+    the kNN bench points), monolithic two-operand sort otherwise (wins for
+    the radius cap-32 full result — measurements in BASELINE.md)."""
     if k & (k - 1) == 0:
-        dd, idxs_k = _topk_tournament(d2, idxf, buckets.shape[1], k)
-        idx = _decode_idx(idxs_k)
-    else:
-        d2s, idxs = jax.lax.sort((d2, idxf), num_keys=1)
-        dd = jax.lax.slice_in_dim(d2s, 0, k, axis=1)
-        idx = _decode_idx(jax.lax.slice_in_dim(idxs, 0, k, axis=1))
-    return idx, dd, jnp.isfinite(dd), truncated
+        dd, idxs_k = _topk_tournament(d2, idxf, n_groups, k)
+        return dd, _decode_idx(idxs_k)
+    d2s, idxs = jax.lax.sort((d2, idxf), num_keys=1)
+    dd = jax.lax.slice_in_dim(d2s, 0, k, axis=1)
+    return dd, _decode_idx(jax.lax.slice_in_dim(idxs, 0, k, axis=1))
 
 
 def _bitonic_merge_keep_k(da, pa, db, pb):
@@ -557,24 +571,14 @@ def radius_search(
     """All neighbors within r (up to cap_out nearest). Returns
     (idx [Q,cap_out], sqdist, valid, count [Q], truncated [Q]).
 
-    Single pass: the shared candidate tensor serves the top-cap_out
-    selection AND the in-radius count. Selection uses one [Q, S]
-    two-operand lax.sort — at the 307k/cap32 bench point it beats the
-    merge tree for the full (idx + d2) result (measured 229 vs 292
+    Single pass: the shared candidate tensor (_candidates) serves the
+    top-cap_out selection AND the in-radius count. Selection uses one
+    [Q, S] two-operand lax.sort — at the 307k/cap32 bench point it beats
+    the merge tree for the full (idx + d2) result (measured 229 vs 292
     ms/op: the tree's idx payload path forces an expensive [Q, S]
     extraction relayout that the monolithic sort's payload avoids)."""
     buckets = _neighbor_buckets(table, queries)
-    d2, rows = _packed_sqdist(table, buckets, queries)
-    S = d2.shape[1]
-    L = S * 4
-    lane = jnp.arange(L, dtype=jnp.int32)
-    Kidx = ((lane[:, None] // 4 == jnp.arange(S, dtype=jnp.int32)[None, :])
-            & (lane % 4 == 3)[:, None]).astype(jnp.float32)
-    idxf = jnp.dot(rows, Kidx, preferred_element_type=jnp.float32)
-    truncated = jnp.min(idxf, axis=1) < 0.0
-    r2 = jnp.asarray(r, jnp.float32) ** 2
-    d2 = jnp.where(d2 <= r2, d2, jnp.inf)
-    d2 = jnp.where(_dedup_mask(table, queries, buckets), jnp.inf, d2)
+    d2, idxf, truncated = _candidates(table, buckets, queries, r)
     count = jnp.sum(jnp.isfinite(d2), axis=-1).astype(jnp.int32)
     d2s, idxs = jax.lax.sort((d2, idxf), num_keys=1)
     dd = jax.lax.slice_in_dim(d2s, 0, cap_out, axis=1)

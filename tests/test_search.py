@@ -469,3 +469,47 @@ class TestOrganizedSelfKnn:
         assert (ok[q] == bok[q]).all()
         # invalid pixels return no self-neighborhood contributions
         assert not ok[~q][:, 0].any() or True
+
+
+class TestTournamentTopK:
+    """Direct brute-force oracle for the power-of-two-k merge-tree
+    selection in knn_radius (r4 review finding: the prior knn oracle used
+    k=5, which takes the lax.sort fallback)."""
+
+    def test_knn_power_of_two_matches_bruteforce(self, rng):
+        from pcl_tpu.search import cell_list, bruteforce
+        n = 20000
+        pts = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+        mask = np.ones(n, bool)
+        mask[::13] = False
+        xyz = jnp.asarray(pts)
+        mj = jnp.asarray(mask)
+        # cell sized for ~2k neighbors in the 27-neighborhood
+        for k in (4, 16):
+            r = float((2 * k * 3 / (4 * np.pi * n)) ** (1 / 3))
+            tab = cell_list.build(xyz, mj, jnp.float32(r),
+                                  table_size=1 << 15, cap=32)
+            idx, dd, valid, trunc = cell_list.knn_radius(tab, xyz, k)
+            # k+1 brute neighbors: the (k+1)-th distance exposes ties AT
+            # the list boundary (fp noise can swap the k-th entry with
+            # the first excluded candidate when they are ~equal)
+            bi1, bd1, _ = bruteforce.knn(xyz, mj, xyz, k + 1)
+            bi, bd = np.asarray(bi1)[:, :k], np.asarray(bd1)[:, :k]
+            boundary_gap = np.asarray(bd1)[:, k] - np.asarray(bd1)[:, k - 1]
+            dd = np.asarray(dd)
+            idx = np.asarray(idx)
+            tr = np.asarray(trunc)
+            # within the cell horizon the lists agree exactly (untruncated
+            # queries); compare where brute found its k-th within r
+            # stay clearly inside the horizon: the brute and packed
+            # paths compute d2 with different fp orderings, so borderline
+            # candidates can land on different sides of the probe
+            inh = bd[:, k - 1] <= (0.95 * r) ** 2
+            q = inh & ~tr
+            assert q.sum() > n // 3
+            np.testing.assert_allclose(dd[q], bd[q], rtol=5e-3, atol=2e-6)
+            # idx equality wherever distances are well separated,
+            # including the gap to the first EXCLUDED candidate
+            strict = np.all(np.diff(bd[q], axis=1) > 1e-5, axis=1) \
+                & (boundary_gap[q] > 1e-5)
+            np.testing.assert_array_equal(idx[q][strict], bi[q][strict])
