@@ -14,5 +14,7 @@ from pcl_tpu.ml.trees import (
     train_decision_tree,
     RandomForest,
     train_random_forest,
+    save_model,
+    load_model,
 )
 from pcl_tpu.ml.densecrf import DenseCRF

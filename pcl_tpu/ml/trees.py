@@ -200,3 +200,47 @@ def train_random_forest(
             )
         )
     return RandomForest(trees)
+
+
+# ---------------------------------------------------------------------------
+# Model persistence (the reference's DecisionForest/Fern trainers serialize
+# models via their own iostream operators, ml/include/pcl/ml/dt/
+# decision_forest.h / ferns/fern.h; here a portable .npz container)
+# ---------------------------------------------------------------------------
+
+def save_model(path: str, model) -> None:
+    """Serialize a Fern / DecisionTree / RandomForest to one .npz file."""
+    if isinstance(model, Fern):
+        np.savez(path, kind="fern", features=model.features,
+                 thresholds=model.thresholds, leaf_probs=model.leaf_probs)
+    elif isinstance(model, DecisionTree):
+        np.savez(path, kind="tree", feature=model.feature,
+                 threshold=model.threshold, leaf_probs=model.leaf_probs,
+                 depth=np.int64(model.depth))
+    elif isinstance(model, RandomForest):
+        arrs = {"kind": "forest", "n_trees": np.int64(len(model.trees))}
+        for i, t in enumerate(model.trees):
+            arrs[f"f{i}"] = t.feature
+            arrs[f"t{i}"] = t.threshold
+            arrs[f"p{i}"] = t.leaf_probs
+            arrs[f"d{i}"] = np.int64(t.depth)
+        np.savez(path, **arrs)
+    else:
+        raise TypeError(f"unknown model type {type(model).__name__}")
+
+
+def load_model(path: str):
+    """Load a model written by :func:`save_model`."""
+    z = np.load(path, allow_pickle=False)
+    kind = str(z["kind"])
+    if kind == "fern":
+        return Fern(z["features"], z["thresholds"], z["leaf_probs"])
+    if kind == "tree":
+        return DecisionTree(z["feature"], z["threshold"], z["leaf_probs"],
+                            int(z["depth"]))
+    if kind == "forest":
+        trees = [DecisionTree(z[f"f{i}"], z[f"t{i}"], z[f"p{i}"],
+                              int(z[f"d{i}"]))
+                 for i in range(int(z["n_trees"]))]
+        return RandomForest(trees)
+    raise ValueError(f"unknown model kind {kind!r} in {path}")

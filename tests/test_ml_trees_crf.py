@@ -96,3 +96,28 @@ class TestDenseCRF:
         crf.add_pairwise_bilateral(xyz, rgb, sx=2.0, sr=0.3, w=5.0)
         labels = crf.map_labels(n_iterations=8)
         assert (labels == true).mean() > 0.95
+
+
+class TestModelPersistence:
+    """Fern/tree/forest serialization (the reference's model iostream
+    operators, ml/dt/decision_forest.h; .npz container here)."""
+
+    def test_roundtrip_all_kinds(self, tmp_path):
+        import numpy as np
+        from pcl_tpu.ml import (train_fern, train_decision_tree,
+                                train_random_forest, save_model, load_model)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(400, 6)).astype(np.float32)
+        y = (x[:, 0] + 0.5 * x[:, 3] > 0).astype(np.int32)
+        models = {
+            "fern.npz": train_fern(x, y, depth=6),
+            "tree.npz": train_decision_tree(x, y, depth=5),
+            "forest.npz": train_random_forest(x, y, n_trees=4, depth=4),
+        }
+        for name, m in models.items():
+            p = str(tmp_path / name)
+            save_model(p, m)
+            back = load_model(p)
+            np.testing.assert_array_equal(back.classify(x), m.classify(x))
+            np.testing.assert_allclose(back.evaluate(x), m.evaluate(x),
+                                       rtol=1e-6)
