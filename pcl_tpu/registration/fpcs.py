@@ -143,8 +143,14 @@ def kfpcs_align(
 
     if non_max_radius is None:
         non_max_radius = salient_radius * 0.5
-    kp_s, _ = iss3d_keypoints(source, salient_radius, non_max_radius)
-    kp_t, _ = iss3d_keypoints(target, salient_radius, non_max_radius)
+    # density-weighted ISS (the Zhong-2009 weighting): KFPCS only needs a
+    # stable, well-spread salient subset — the density weighting is more
+    # robust on the sparse structured clouds this coarse aligner targets
+    # (the reference-exact unweighted default, r4, shifts keypoint picks)
+    kp_s, _ = iss3d_keypoints(source, salient_radius, non_max_radius,
+                              density_weights=True)
+    kp_t, _ = iss3d_keypoints(target, salient_radius, non_max_radius,
+                              density_weights=True)
     # keep clouds' static shapes: keypoints become the validity mask
     enough = (int(jnp.sum(kp_s)) >= 8) and (int(jnp.sum(kp_t)) >= 8)
     src = Cloud(xyz=source.xyz, mask=kp_s) if enough else source
