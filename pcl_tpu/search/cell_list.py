@@ -816,7 +816,8 @@ def _pallas_ok(cap: int) -> bool:
 
 
 @partial(jax.jit, static_argnames=("block_queries", "span_rows", "with_dst",
-                                   "unroll", "pair_view", "pallas"))
+                                   "unroll", "pair_view", "pallas",
+                                   "compact_rows"))
 def nn1_radius_blocked(
     table: CellTable,
     queries: jax.Array,
@@ -827,6 +828,7 @@ def nn1_radius_blocked(
     unroll: bool = False,
     pair_view: bool = False,
     pallas: bool = False,
+    compact_rows: bool = False,
 ):
     """nn1_radius for large DENSE tables: queries MUST be (approximately)
     sorted by their dense cell id; processed in ``block_queries`` chunks
@@ -978,6 +980,67 @@ def nn1_radius_blocked(
                                (l4 + 1) >> 1,              # odd base -> E
                                Hs1 + (l4 >> 1))            # even base -> O
             rows = pspan[plocal].reshape(B, L)
+        elif compact_rows and not pallas:
+            # COMPACT-ROW variant (measured OFF by default): consume the
+            # gather output in its natural [B*8, C4] layout, skipping the
+            # [B*8,48] -> [B,384] retiling (5.4 ms/iter at 1M) and
+            # shrinking every projection to [C4, cap]-class matmuls.
+            # MEASURED WORSE at 1M (58.3 vs 36.9 ms/iter): the narrow
+            # intermediates ([B*8,48/12/4]) pad to 128 lanes, taxing every
+            # elementwise pass ~2.7x — exactly the padding the packed
+            # [B, 384] layout exists to avoid (module docstring). Kept as
+            # an oracle-tested A/B option.
+            span = jax.lax.dynamic_slice(
+                table.data, (span_start, 0), (span_rows, cap * 4))
+            rows8 = span[jnp.clip(local, 0, span_rows - 1).reshape(-1)]
+            lane48 = jnp.arange(C4, dtype=jnp.int32)
+            slot12 = jnp.arange(cap, dtype=jnp.int32)
+            q4 = jnp.concatenate([qb, jnp.zeros_like(qb[:, :1])], axis=1)
+            q48 = jnp.repeat(q4, 8, axis=0)                 # [B*8, 4]
+            T4r = (jnp.arange(4, dtype=jnp.int32)[:, None]
+                   == (lane48 % 4)[None, :]).astype(jnp.float32)
+            qblr = jnp.dot(q48, T4r, preferred_element_type=jnp.float32)
+            is_coord_r = (lane48 % 4 < 3).astype(jnp.float32)
+            diffr = jnp.clip((rows8 - qblr) * is_coord_r[None, :],
+                             -1e15, 1e15)
+            Gdr = ((lane48[:, None] // 4 == slot12[None, :])
+                   & (lane48 % 4 < 3)[:, None]).astype(jnp.float32)
+            d2r = jnp.dot(diffr * diffr, Gdr,
+                          preferred_element_type=jnp.float32)  # [B*8, cap]
+            okr = ok.reshape(-1)
+            d2r = jnp.where(okr[:, None], d2r, jnp.inf)
+            d2r = jnp.where(d2r <= r2, d2r, jnp.inf)
+            best_r = jnp.min(d2r, axis=1)                   # [B*8]
+            wslot = jnp.min(jnp.where(d2r == best_r[:, None],
+                                      slot12[None, :], cap), axis=1)
+            sel12 = (slot12[None, :] == wslot[:, None]).astype(jnp.float32)
+            # winner row 4-lane extraction: slot one-hot -> its 4 lanes
+            R12 = (slot12[:, None] == (lane48 // 4)[None, :]
+                   ).astype(jnp.float32)                    # [cap, C4]
+            K4r = ((lane48 % 4)[:, None] == jnp.arange(4)[None, :]
+                   ).astype(jnp.float32)                    # [C4, 4]
+            sel48 = jnp.dot(sel12, R12, preferred_element_type=jnp.float32)
+            win4r = jnp.dot(sel48 * rows8, K4r,
+                            preferred_element_type=jnp.float32)  # [B*8, 4]
+            # cross-offset reduction on [B, 8] (ties -> lowest offset,
+            # matching the old lowest-global-slot order (o*cap + s))
+            best8 = best_r.reshape(B, 8)
+            best_d2 = jnp.min(best8, axis=1)
+            off8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+            woff = jnp.min(jnp.where(best8 == best_d2[:, None], off8, 8),
+                           axis=1)
+            sel8 = (off8 == woff[:, None]).astype(jnp.float32)  # [B,8]
+            win4 = jnp.einsum("bo,boj->bj", sel8, win4r.reshape(B, 8, 4))
+            best_idx = _decode_idx(win4[:, 3])
+            # truncation: any sign-encoded idx lane among probed buckets
+            Gir = ((lane48 % 4) == 3).astype(jnp.float32)
+            negr = jnp.dot(jnp.minimum(rows8, 0.0), Gir[:, None],
+                           preferred_element_type=jnp.float32)[:, 0]
+            trunc = (jnp.any(ok & (negr.reshape(B, 8) < 0.0), axis=1)
+                     | jnp.any(miss, axis=1))
+            if with_dst:
+                return best_idx, best_d2, trunc, win4[:, :3]
+            return best_idx, best_d2, trunc
         else:
             span = jax.lax.dynamic_slice(
                 table.data, (span_start, 0), (span_rows, cap * 4))
