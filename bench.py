@@ -46,11 +46,19 @@ def _cloud(x):
 
 
 def _time_best(fn, reps=3):
-    fn()  # compile + warmup
+    """Best-of-reps wall time. ``fn`` may take a rep index ``k`` — USE IT
+    to perturb the inputs per call: the driver tunnel memoizes identical
+    dispatches (same executable + same buffers), and an unperturbed
+    repeat can time the cache instead of the device (an NDT rep once
+    read 3,000,000 iters/s)."""
+    import inspect
+    takes_k = len(inspect.signature(fn).parameters) >= 1
+    call = (lambda k: fn(k)) if takes_k else (lambda k: fn())
+    call(0)  # compile + warmup
     ts = []
-    for _ in range(reps):
+    for k in range(reps):
         t0 = time.perf_counter()
-        out = fn()
+        out = call(k + 1)
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     return min(ts)
@@ -68,10 +76,13 @@ def bench_icp(n, max_corr_dist, cell_cap, grid_dims):
                         grid_dims=grid_dims)
     jax.block_until_ready(table.data)
 
-    def run():
+    def run(k=0):
+        from pcl_tpu.core.cloud import Cloud
+        # per-call nm-scale perturbation defeats dispatch memoization
+        s = Cloud(xyz=src_c.xyz + jnp.float32(k) * 1e-6, mask=src_c.mask)
         # eps=0 disables early convergence so exactly ITERS iterations run
         return icp(
-            src_c, tgt_c,
+            s, tgt_c,
             max_corr_dist=max_corr_dist,
             max_iterations=ITERS,
             transformation_eps=0.0,
@@ -145,8 +156,17 @@ def bench_ndt(n):
     Rz = Rotation.from_euler("z", 0.02).as_matrix().astype(np.float32)
     src = src @ Rz.T + np.asarray([0.4, 0.2, -0.15], np.float32)
 
-    def run(iters):
-        return ndt(_cloud(src), _cloud(tgt), resolution=4.0,
+    src_j = jnp.asarray(src)
+    tgt_c = _cloud(tgt)
+
+    def run(iters, k=0):
+        # per-call perturbation: the driver tunnel MEMOIZES identical
+        # dispatches (same executable + same buffers), so repeat timing of
+        # an unperturbed call measures the cache, not the device
+        from pcl_tpu.core.cloud import Cloud
+        s = Cloud(xyz=src_j + jnp.float32(k) * 1e-6,
+                  mask=jnp.ones((n,), bool))
+        return ndt(s, tgt_c, resolution=4.0,
                    max_iterations=iters, transformation_eps=0.0,
                    step_size=0.5)
 
@@ -160,17 +180,31 @@ def bench_ndt(n):
     # pair in ~6 iterations, so amortized iters/sec would mostly measure
     # the one-time grid build + dispatch latency; difference of two
     # iteration budgets isolates the hot loop (both below convergence)
-    w2 = _time_best(lambda: run(2))
-    w5 = _time_best(lambda: run(5))
-    return 3.0 / max(w5 - w2, 1e-6)
+    jax.block_until_ready(run(2).transform)   # compile the 2-iter variant
+
+    def marginal():
+        ws = []
+        for it in (2, 5):
+            ts = []
+            for k in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(it, k).transform)
+                ts.append(time.perf_counter() - t0)
+            ws.append(min(ts))
+        return ws[1] - ws[0]
+
+    deltas = [marginal() for _ in range(2)]
+    return 3.0 / max(min(deltas), 1e-3)
 
 
 def bench_gicp(n):
     from pcl_tpu.registration.gicp import gicp
 
     src, tgt = _pair(n)
+    src_j = jnp.asarray(src)
 
-    def run():
+    def run(k=0):
+        # per-call perturbation defeats dispatch memoization (_time_best)
         # cap 8 at lambda~0.96/cell (see bench_icp note); correspondence
         # grid dense like the ICP entry so hash birthday-merging cannot
         # inflate overflow. Covariance neighborhoods use the hashed table
@@ -180,7 +214,10 @@ def bench_gicp(n):
         # radius for k=20 at this density is ~4.3): collision-free, so
         # cap 32 suffices where the hashed table needed 64 (and the
         # [Q, 27*cap] distance work is 4x smaller)
-        return gicp(_cloud(src), _cloud(tgt), max_corr_dist=1.0,
+        from pcl_tpu.core.cloud import Cloud
+        s = Cloud(xyz=src_j + jnp.float32(k) * 1e-6,
+                  mask=jnp.ones((src_j.shape[0],), bool))
+        return gicp(s, _cloud(tgt), max_corr_dist=1.0,
                     max_iterations=ITERS, transformation_eps=0.0,
                     cell_cap=8, corr_backend="cell", grid_dims=(53, 53, 53),
                     cov_cell_size=4.5, cov_grid_dims=(24, 24, 24),
@@ -205,12 +242,17 @@ def bench_gicp_500k():
 
     n = 500_000
     src, tgt = _pair(n)
+    src_j = jnp.asarray(src)
 
-    def run():
+    def run(k=0):
+        # per-call perturbation defeats dispatch memoization (_time_best)
         # corr cells stay 2.0 m (cell = 2*max_corr), so lambda scales with
         # n: ~4 points/cell at 500k -> cap 20 (P[X>20|4] ~ 1e-9 per cell);
         # covariance grid lambda ~10.7 -> cap 40
-        return gicp(_cloud(src), _cloud(tgt), max_corr_dist=1.0,
+        from pcl_tpu.core.cloud import Cloud
+        s = Cloud(xyz=src_j + jnp.float32(k) * 1e-6,
+                  mask=jnp.ones((src_j.shape[0],), bool))
+        return gicp(s, _cloud(tgt), max_corr_dist=1.0,
                     max_iterations=ITERS, transformation_eps=0.0,
                     cell_cap=20, corr_backend="cell", grid_dims=(53, 53, 53),
                     cov_cell_size=2.8, cov_grid_dims=(37, 37, 37),
