@@ -5,7 +5,13 @@ linear case), and kernel density/CRF-adjacent helpers.
 """
 
 from pcl_tpu.ml.kmeans import kmeans
-from pcl_tpu.ml.svm import SVMModel, svm_train, svm_classify
+from pcl_tpu.ml.svm import (
+    SVMModel,
+    svm_train,
+    svm_classify,
+    svm_train_dual,
+    svm_classify_dual,
+)
 from pcl_tpu.ml.svm_io import load_libsvm_model, save_libsvm_model
 from pcl_tpu.ml.trees import (
     Fern,

@@ -5,3 +5,4 @@ SVM over candidate clusters.
 
 from pcl_tpu.people.hog import hog_features
 from pcl_tpu.people.detector import GroundBasedPeopleDetector
+from pcl_tpu.people.classifier import PersonClassifier

@@ -47,4 +47,8 @@ from pcl_tpu.surface.bspline import (
     eval_bspline_surface,
     fit_bspline_curve2d,
     eval_bspline_curve2d,
+    fit_bspline_surface_iterated,
+    fit_trimmed_bspline_surface,
+    eval_trimmed_bspline_surface,
+    trimmed_surface_contains,
 )
