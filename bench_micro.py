@@ -140,6 +140,11 @@ def main():
             if k in cpu and results[k] > 0:
                 results[f"vs_baseline_{k.replace('_ms_', '_')}"] = round(
                     cpu[k] / results[k], 2)
+            # measured single-threaded C++ -O3 baselines where available
+            # (bench_cpu_native.py; REFBENCH_BUILD.json for provenance)
+            if f"cpp_{k}" in cpu and results[k] > 0:
+                results[f"vs_cpp_{k.replace('_ms_', '_')}"] = round(
+                    cpu[f"cpp_{k}"] / results[k], 2)
     except Exception:  # noqa: BLE001
         pass
 

@@ -809,15 +809,9 @@ def _span_sqdist(span_rows_arr: jax.Array, local: jax.Array,
     return d2, rows
 
 
-def _pallas_ok(cap: int) -> bool:
-    """The fused Pallas candidate kernel needs TPU + 128-aligned lanes."""
-    return (jax.default_backend() in ("tpu", "axon")
-            and (8 * cap * 4) % 128 == 0)
-
-
 @partial(jax.jit, static_argnames=("block_queries", "span_rows", "with_dst",
-                                   "unroll", "pair_view", "pallas",
-                                   "compact_rows"))
+                                   "unroll", "pair_view",
+                                   "compact_rows", "slot_cols"))
 def nn1_radius_blocked(
     table: CellTable,
     queries: jax.Array,
@@ -827,8 +821,8 @@ def nn1_radius_blocked(
     with_dst: bool = False,
     unroll: bool = False,
     pair_view: bool = False,
-    pallas: bool = False,
     compact_rows: bool = False,
+    slot_cols: bool = False,
 ):
     """nn1_radius for large DENSE tables: queries MUST be (approximately)
     sorted by their dense cell id; processed in ``block_queries`` chunks
@@ -980,7 +974,73 @@ def nn1_radius_blocked(
                                (l4 + 1) >> 1,              # odd base -> E
                                Hs1 + (l4 >> 1))            # even base -> O
             rows = pspan[plocal].reshape(B, L)
-        elif compact_rows and not pallas:
+        elif slot_cols:
+            # SLOT-COLUMN variant (VERDICT r4 #2 "emit the gather directly
+            # in the candidate layout") — MEASURED OFF by default: 77.4 ms
+            # vs the packed chain's 60.0 at the 1M configuration
+            # (PROFILE_SWEEP3.json). Mechanism: consume the gather output in its
+            # natural [B*8, C4] layout like compact_rows, but do NO wide
+            # elementwise work on it at all — four skinny 0/1 matmuls
+            # extract the per-slot x/y/z/idx COLUMNS ([B*8,C4]@[C4,cap]),
+            # and every subsequent op (diff, square, gate, min, one-hot)
+            # runs on narrow [B*8,cap] arrays. The wide operand is touched
+            # only by the MXU (which reads the gather layout as a matmul
+            # LHS without the 5.4 ms/iter [B*8,48]->[B,384] retiling), and
+            # the 2.7x lane-pad tax that sank compact_rows' wide
+            # elementwise passes never applies. Arithmetic matches
+            # the packed path to fp accumulation order (0/1 matmuls move
+            # values exactly; the diff^2 three-term sum associates
+            # differently than the matmul reduction, ~1e-7 relative).
+            span = jax.lax.dynamic_slice(
+                table.data, (span_start, 0), (span_rows, cap * 4))
+            rows8 = span[jnp.clip(local, 0, span_rows - 1).reshape(-1)]
+            lane48 = jnp.arange(C4, dtype=jnp.int32)
+            slot12 = jnp.arange(cap, dtype=jnp.int32)
+            # column extractors: lane 4s+k -> slot s, for k = x,y,z,idx
+            def _sel(k):
+                return ((lane48[:, None] // 4 == slot12[None, :])
+                        & (lane48 % 4 == k)[:, None]).astype(jnp.float32)
+            X0 = jnp.dot(rows8, _sel(0), preferred_element_type=jnp.float32)
+            X1 = jnp.dot(rows8, _sel(1), preferred_element_type=jnp.float32)
+            X2 = jnp.dot(rows8, _sel(2), preferred_element_type=jnp.float32)
+            X3 = jnp.dot(rows8, _sel(3), preferred_element_type=jnp.float32)
+            q8 = jnp.repeat(qb, 8, axis=0)                  # [B*8, 3]
+            D0 = jnp.clip(X0 - q8[:, 0:1], -1e15, 1e15)
+            D1 = jnp.clip(X1 - q8[:, 1:2], -1e15, 1e15)
+            D2 = jnp.clip(X2 - q8[:, 2:3], -1e15, 1e15)
+            d2r = D0 * D0 + D1 * D1 + D2 * D2               # [B*8, cap]
+            okr = ok.reshape(-1)
+            d2r = jnp.where(okr[:, None], d2r, jnp.inf)
+            d2r = jnp.where(d2r <= r2, d2r, jnp.inf)
+            best_r = jnp.min(d2r, axis=1)                   # [B*8]
+            wslot = jnp.min(jnp.where(d2r == best_r[:, None],
+                                      slot12[None, :], cap), axis=1)
+            sel12 = (slot12[None, :] == wslot[:, None]).astype(jnp.float32)
+            # winner components from the already-extracted columns
+            win4r = jnp.stack([
+                jnp.sum(sel12 * X0, axis=1),
+                jnp.sum(sel12 * X1, axis=1),
+                jnp.sum(sel12 * X2, axis=1),
+                jnp.sum(sel12 * X3, axis=1),
+            ], axis=1)                                      # [B*8, 4]
+            B8 = block_queries
+            best8 = best_r.reshape(B8, 8)
+            best_d2 = jnp.min(best8, axis=1)
+            off8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+            woff = jnp.min(jnp.where(best8 == best_d2[:, None], off8, 8),
+                           axis=1)
+            sel8 = (off8 == woff[:, None]).astype(jnp.float32)  # [B,8]
+            win4 = jnp.einsum("bo,boj->bj", sel8,
+                              win4r.reshape(B8, 8, 4))
+            best_idx = _decode_idx(win4[:, 3])
+            # truncation: any sign-encoded idx among the slot columns
+            negr = jnp.sum(jnp.minimum(X3, 0.0), axis=1)    # [B*8]
+            trunc = (jnp.any(ok & (negr.reshape(B8, 8) < 0.0), axis=1)
+                     | jnp.any(miss, axis=1))
+            if with_dst:
+                return best_idx, best_d2, trunc, win4[:, :3]
+            return best_idx, best_d2, trunc
+        elif compact_rows:
             # COMPACT-ROW variant (measured OFF by default): consume the
             # gather output in its natural [B*8, C4] layout, skipping the
             # [B*8,48] -> [B,384] retiling (5.4 ms/iter at 1M) and
@@ -1045,19 +1105,13 @@ def nn1_radius_blocked(
             span = jax.lax.dynamic_slice(
                 table.data, (span_start, 0), (span_rows, cap * 4))
             rows = span[jnp.clip(local, 0, span_rows - 1)].reshape(B, L)
-        if pallas:
-            # fused VMEM candidate kernel (ops/pallas_sweep.py): replaces
-            # the projection-matmul chain below with VPU lane rolls +
-            # argmin, removing its MXU time and block-loop scheduling
-            # slack (VERDICT r3 next-#1)
-            from pcl_tpu.ops.pallas_sweep import sweep_compute
-            best_d2, wini_f, trunc_k, win_xyz = sweep_compute(
-                rows, qb, ok, r2)
-            best_idx = _decode_idx(wini_f)
-            trunc = trunc_k | jnp.any(miss, axis=1)
-            if with_dst:
-                return best_idx, best_d2, trunc, win_xyz
-            return best_idx, best_d2, trunc
+        # NOTE (r5): a fused Pallas VMEM candidate kernel
+        # (ops/pallas_sweep.py, VPU lane rolls + argmin in place of the
+        # projection-matmul chain below) was DELETED after losing its
+        # fourth measured A/B: 82-85 ms vs this chain's 60 ms at the 1M
+        # configuration across block sizes 256/512/1024 (2048 exceeded
+        # the 16 MB VMEM scratch limit); see PROFILE_SWEEP3.json and
+        # BASELINE.md. The MXU projection-matmul chain is the winner.
         q4 = jnp.concatenate([qb, jnp.zeros_like(qb[:, :1])], axis=1)
         qbl = jnp.dot(q4, T4, preferred_element_type=jnp.float32)   # [B,L]
         diff = jnp.clip((rows - qbl) * is_coord_l[None, :], -1e15, 1e15)

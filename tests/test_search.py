@@ -385,6 +385,39 @@ class TestBlockedCellList:
         assert agree[ok].all()          # every unflagged answer exact
         assert miss.any()               # the tight span does fire
 
+    def test_layout_variants_exactly_match_default(self, rng):
+        """pair_view / compact_rows / slot_cols are measured-off A/B
+        layout variants (BASELINE.md r5 floor record); each must agree
+        with the default packed chain to fp accumulation order (the
+        matmul-sum vs explicit-add orders differ at ~1e-7 relative), with
+        winner flips allowed only between genuinely tied candidates."""
+        cell_list, tab, qs, r = self._setup(rng)
+        ri, rd, rt, rdst = cell_list.nn1_radius_blocked(
+            tab, qs, r, block_queries=4096, span_rows=4096, with_dst=True)
+        ri, rd, rt = np.asarray(ri), np.asarray(rd), np.asarray(rt)
+        rdst = np.asarray(rdst)
+        for kw in ({"pair_view": True}, {"compact_rows": True},
+                   {"slot_cols": True}):
+            oi, od, ot, odst = cell_list.nn1_radius_blocked(
+                tab, qs, r, block_queries=4096, span_rows=4096,
+                with_dst=True, **kw)
+            oi, od, ot = np.asarray(oi), np.asarray(od), np.asarray(ot)
+            odst = np.asarray(odst)
+            np.testing.assert_array_equal(ot, rt, err_msg=f"{kw} trunc")
+            both_inf = np.isinf(rd) & np.isinf(od)
+            np.testing.assert_allclose(
+                od[~both_inf], rd[~both_inf], rtol=1e-5, atol=1e-9,
+                err_msg=f"{kw} d2")
+            fin = np.isfinite(rd)
+            same = oi[fin] == ri[fin]
+            # a flipped winner must be an fp-level tie
+            if not same.all():
+                dmax = np.abs(od[fin][~same] - rd[fin][~same])
+                assert dmax.max() <= 1e-6, f"{kw} non-tie winner flip"
+            np.testing.assert_allclose(
+                odst[fin][same], rdst[fin][same], rtol=1e-6, atol=1e-9,
+                err_msg=f"{kw} dst")
+
     def test_unsorted_queries_still_safe(self, rng):
         cell_list, tab, _, r = self._setup(rng)
         src = rng.uniform(-5, 5, size=(5000, 3)).astype(np.float32)
