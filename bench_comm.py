@@ -106,6 +106,19 @@ def main():
         row["gicp_comm_bytes_align"] = n * 12
         row["gicp_comm_bytes_per_iter"] = 2 * (42 + 2) * 4
 
+        # --- sharded NDT ---
+        from pcl_tpu.parallel.ndt_sharded import sharded_ndt
+
+        def run_ndt():
+            return sharded_ndt(mesh, src_xyz, src_mask, tgt_xyz, tgt_mask,
+                               resolution=2.0, max_iterations=3,
+                               table_size=1 << 14, min_points=4)[0]
+        row["ndt_ms_per_iter"] = round(_time_ms(run_ndt) / 3, 3)
+        # per Newton iter: one fused psum of (f,g[6],H[36]) = 43 f32 + one
+        # 1-f32 trial-score psum (+ 7 f32 on backtracking iterations)
+        row["ndt_comm_bytes_per_iter"] = (43 + 1) * 4
+        row["ndt_comm_bytes_backtrack_iter"] = (43 + 1 + 7) * 4
+
         # --- sharded LUM pose graph ---
         V, C = 6, 256
         scene = rng.normal(size=(C, 3)).astype(np.float32)

@@ -86,7 +86,26 @@ def voxel_downsample(cloud: Cloud, leaf_size, average_attrs: bool = True) -> Clo
 
     ``leaf_size`` is scalar or per-axis [3]. Attributes are averaged per
     voxel when ``average_attrs`` (PCL's downsample_all_data), else dropped.
+
+    On TPU the centroid reduction runs through the Pallas chunked
+    segmented-reduce (ops/pallas_segsum.py: payload sort + one-hot MXU
+    matmuls + carry, measured 7.9 vs 13.3 ms on the 307k fixture —
+    PROFILE_VOXEL.json, VERDICT r4 #9); the CPU/oracle path below keeps
+    the scatter-based form the tests pin.
     """
+    n = cloud.capacity
+    attr_items = sorted(cloud.attrs.items()) if average_attrs else []
+    attr_lanes = sum(
+        int(v.reshape(n, -1).shape[1]) for _, v in attr_items)
+    if (jax.default_backend() in ("tpu", "axon")
+            and attr_lanes <= 115 and n >= 1024):
+        return _voxel_downsample_tpu(cloud, leaf_size, attr_items)
+    return _voxel_downsample_xla(cloud, leaf_size, average_attrs, attr_items)
+
+
+def _voxel_downsample_xla(cloud: Cloud, leaf_size, average_attrs,
+                          attr_items=None) -> Cloud:
+    """Scatter-based centroid path (CPU oracle + huge-bbox fallback)."""
     n = cloud.capacity
     order, seg_id, first = _sorted_cell_segments(cloud.xyz, cloud.mask, leaf_size)
     # back-permute the segment ids to ORIGINAL point order: one [N] i32
@@ -125,6 +144,61 @@ def voxel_downsample(cloud: Cloud, leaf_size, average_attrs: bool = True) -> Clo
                 v.dtype if jnp.issubdtype(v.dtype, jnp.floating) else jnp.float32
             )
     return Cloud(xyz=centroids, mask=out_mask, attrs=attrs, width=0, height=1)
+
+
+def _voxel_downsample_tpu(cloud: Cloud, leaf_size, attr_items) -> Cloud:
+    """TPU voxel centroid path: columns (xyz + flattened attrs) ride the
+    dense-id payload sort into ops.pallas_segsum.voxel_sums_pallas. Falls
+    back to the scatter path under lax.cond when the bbox cell count
+    would overflow the i32 dense id (the same 2^30 guard the sort-based
+    path uses)."""
+    from pcl_tpu.ops.pallas_segsum import dense_cell_ids, voxel_sums_pallas
+
+    n = cloud.capacity
+    mask = cloud.mask
+    leaf = jnp.broadcast_to(jnp.asarray(leaf_size, jnp.float32), (3,))
+    coords = jnp.floor(cloud.xyz / leaf).astype(jnp.int32)
+    cmin = jnp.min(jnp.where(mask[:, None], coords, _I32_BIG), axis=0)
+    cmax = jnp.max(jnp.where(mask[:, None], coords, -_I32_BIG), axis=0)
+    span = jnp.maximum(cmax - cmin + 1, 1)
+    n_cells_f = (span[0].astype(jnp.float32) * span[1].astype(jnp.float32)
+                 * span[2].astype(jnp.float32))
+
+    shapes = [(k, v.shape[1:], v.dtype) for k, v in attr_items]
+    cols = [cloud.xyz] + [
+        v.reshape(n, -1).astype(jnp.float32) for _, v in attr_items]
+    columns = jnp.concatenate(cols, axis=1)
+
+    def pallas_branch(_):
+        lin = dense_cell_ids(cloud.xyz, mask, leaf)
+        sums, n_voxels = voxel_sums_pallas(columns, mask, lin)
+        out_mask = jnp.arange(n, dtype=jnp.int32) < n_voxels
+        cnt = jnp.maximum(sums[:, -1:], 1.0)
+        means = jnp.where(out_mask[:, None], sums[:, :-1] / cnt, 0.0)
+        return means, out_mask
+
+    def xla_branch(_):
+        out = _voxel_downsample_xla(cloud, leaf_size,
+                                    bool(attr_items), attr_items)
+        cols_o = [out.xyz] + [
+            out.attrs[k].reshape(n, -1).astype(jnp.float32)
+            for k, _, _ in shapes]
+        return jnp.concatenate(cols_o, axis=1), out.mask
+
+    means, out_mask = jax.lax.cond(
+        n_cells_f < jnp.float32(2**30), pallas_branch, xla_branch,
+        operand=None)
+    attrs = {}
+    off = 3
+    import math
+    for k, shp, dt in shapes:
+        width = math.prod(shp) if shp else 1
+        a = means[:, off:off + width].reshape((n,) + tuple(shp))
+        attrs[k] = a.astype(dt if jnp.issubdtype(dt, jnp.floating)
+                            else jnp.float32)
+        off += width
+    return Cloud(xyz=means[:, :3], mask=out_mask, attrs=attrs,
+                 width=0, height=1)
 
 
 @jax.jit

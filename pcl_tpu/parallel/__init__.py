@@ -12,9 +12,13 @@ _LAZY = {
     "shard_cloud": "pcl_tpu.parallel.mesh",
     "sharded_icp_step": "pcl_tpu.parallel.icp_sharded",
     "sharded_icp": "pcl_tpu.parallel.icp_sharded",
+    "sharded_gicp": "pcl_tpu.parallel.gicp_sharded",
+    "sharded_ndt": "pcl_tpu.parallel.ndt_sharded",
+    "sharded_lum": "pcl_tpu.parallel.graph_sharded",
 }
 
-__all__ = ["make_mesh", "shard_cloud", "sharded_icp_step", "sharded_icp"]
+__all__ = ["make_mesh", "shard_cloud", "sharded_icp_step", "sharded_icp",
+           "sharded_gicp", "sharded_ndt", "sharded_lum"]
 
 
 def __getattr__(name):

@@ -216,6 +216,35 @@ def warp_rigid_6d(params: jax.Array) -> jax.Array:
     return se3_exp(params)
 
 
+def warp_rigid_6d_quat(params: jax.Array) -> jax.Array:
+    """Reference-exact WarpPointRigid6D parameterization
+    (registration/include/pcl/registration/warp_point_rigid_6d.h:77-92):
+    ``[tx,ty,tz, qx,qy,qz]`` with the quaternion's w recovered as
+    sqrt(1 - |v|^2) then normalized. The default ``warp_rigid_6d`` is the
+    se(3) twist instead (the TPU-native LM parameterization); this form
+    exists for parity with reference-tuned parameter vectors
+    (test/registration/test_warps.cpp golden)."""
+    t = params[:3]
+    v = params[3:6]
+    w2 = 1.0 - jnp.sum(v * v)
+    w = jnp.sqrt(jnp.maximum(w2, 0.0))
+    q = jnp.concatenate([v, w[None]])                  # x,y,z,w
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    x, y, z, qw = q[0], q[1], q[2], q[3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - qw * z),
+                   2 * (x * z + qw * y)]),
+        jnp.stack([2 * (x * y + qw * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - qw * x)]),
+        jnp.stack([2 * (x * z - qw * y), 2 * (y * z + qw * x),
+                   1 - 2 * (x * x + y * y)]),
+    ])
+    T = jnp.eye(4, dtype=params.dtype)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(t)
+    return T
+
+
 def warp_rigid_3d(params: jax.Array) -> jax.Array:
     """[tx, ty, yaw] planar rigid warp (reference: warp_point_rigid_3d.h)."""
     xi = jnp.stack([params[0], params[1], jnp.zeros((), params.dtype),

@@ -163,53 +163,13 @@ def _gauss_constants(resolution, outlier_ratio: float = 0.55):
     return jnp.asarray(d1, jnp.float32), jnp.asarray(d2, jnp.float32)
 
 
-class NDTResult(NamedTuple):
-    transform: jax.Array          # [4,4]
-    converged: jax.Array          # bool
-    iterations: jax.Array         # int32
-    score: jax.Array              # f32 (negative log-likelihood style, lower better)
 
-
-@partial(
-    jax.jit,
-    static_argnames=(
-        "resolution", "max_iterations", "neighborhood", "table_size",
-        "min_points", "outlier_ratio", "step_size",
-    ),
-)
-@partial(jax.jit, static_argnames=("max_iterations", "neighborhood",
-                                   "table_size", "min_points"))
-def ndt(
-    source: Cloud,
-    target: Cloud,
-    resolution: float = 1.0,
-    init_transform: Optional[jax.Array] = None,
-    *,
-    max_iterations: int = 35,
-    transformation_eps: float = 1e-4,
-    step_size: float = 0.1,
-    outlier_ratio: float = 0.55,
-    neighborhood: int = 7,
-    table_size: int = 1 << 18,
-    min_points: int = 6,
-) -> NDTResult:
-    """Align source onto target by maximizing the NDT Gaussian score.
-
-    ``neighborhood`` in {1, 7, 27} voxels checked per point (reference
-    DIRECT1/DIRECT7/DIRECT27). ``step_size`` caps the Newton step length
-    (reference setStepSize).
-    """
-    if init_transform is None:
-        init_transform = jnp.eye(4, dtype=jnp.float32)
-    grid = build_grid(target.xyz, target.mask, resolution,
-                      table_size=table_size, min_points=min_points)
-    d1, d2 = _gauss_constants(resolution, outlier_ratio)
-    offsets = {1: _OFFSETS27[:1], 7: _OFFSETS7, 27: _OFFSETS27}[neighborhood]
-    sx, sm = source.xyz, source.mask
-    T0 = init_transform.astype(jnp.float32)
-    res = jnp.asarray(resolution, jnp.float32)
-    w_src = sm.astype(jnp.float32)
-
+def make_score_ops(grid: NDTGrid, offsets, res, d1, d2, sm):
+    """Factory for the NDT hot-loop primitives over a built grid, shared
+    by the single-device loop (``ndt``) and the mesh-sharded loop
+    (parallel/ndt_sharded.py — each shard applies these to ITS point
+    shard against a replicated grid; the 1+6+36 outputs psum over the
+    mesh). ``sm`` is the (per-shard) source validity mask."""
     n_off = offsets.shape[0]
 
     def _gather_rows(p):
@@ -258,13 +218,6 @@ def ndt(
         # minimize its negation f = sum d1 exp(...) (d1 < 0)
         contrib = d1 * jnp.exp(-0.5 * d2 * md)
         return jnp.sum(jnp.where(ok, contrib, 0.0))
-
-    def _score_at(p):
-        return _score_from_rows(_gather_rows(p), p)
-
-    def score_fn(xi):
-        """Negative NDT score of pose exp(xi) @ T0 (lower = better)."""
-        return _score_at(transform_points(se3_exp(xi) @ T0, sx))
 
     def _score_grad_hess(p, R):
         """(f, g [6], H [6,6]) of the negative score wrt a LEFT twist at
@@ -340,6 +293,67 @@ def ndt(
         H = JMJ + QQ
         H = H.at[3:, 3:].add(Pw)
         return f, g, H
+
+    return _gather_rows, _score_from_rows, _score_grad_hess
+
+class NDTResult(NamedTuple):
+    transform: jax.Array          # [4,4]
+    converged: jax.Array          # bool
+    iterations: jax.Array         # int32
+    score: jax.Array              # f32 (negative log-likelihood style, lower better)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "resolution", "max_iterations", "neighborhood", "table_size",
+        "min_points", "outlier_ratio", "step_size",
+    ),
+)
+@partial(jax.jit, static_argnames=("max_iterations", "neighborhood",
+                                   "table_size", "min_points"))
+def ndt(
+    source: Cloud,
+    target: Cloud,
+    resolution: float = 1.0,
+    init_transform: Optional[jax.Array] = None,
+    *,
+    max_iterations: int = 35,
+    transformation_eps: float = 1e-4,
+    step_size: float = 0.1,
+    outlier_ratio: float = 0.55,
+    neighborhood: int = 7,
+    table_size: int = 1 << 18,
+    min_points: int = 6,
+) -> NDTResult:
+    """Align source onto target by maximizing the NDT Gaussian score.
+
+    ``neighborhood`` in {1, 7, 27} voxels checked per point (reference
+    DIRECT1/DIRECT7/DIRECT27). ``step_size`` caps the Newton step length
+    (reference setStepSize).
+    """
+    if init_transform is None:
+        init_transform = jnp.eye(4, dtype=jnp.float32)
+    grid = build_grid(target.xyz, target.mask, resolution,
+                      table_size=table_size, min_points=min_points)
+    d1, d2 = _gauss_constants(resolution, outlier_ratio)
+    offsets = {1: _OFFSETS27[:1], 7: _OFFSETS7, 27: _OFFSETS27}[neighborhood]
+    sx, sm = source.xyz, source.mask
+    T0 = init_transform.astype(jnp.float32)
+    res = jnp.asarray(resolution, jnp.float32)
+    w_src = sm.astype(jnp.float32)
+
+    n_off = offsets.shape[0]
+
+    (_gather_rows, _score_from_rows,
+     _score_grad_hess) = make_score_ops(grid, offsets, res, d1, d2, sm)
+
+    def _score_at(p):
+        return _score_from_rows(_gather_rows(p), p)
+
+    def score_fn(xi):
+        """Negative NDT score of pose exp(xi) @ T0 (lower = better)."""
+        return _score_at(transform_points(se3_exp(xi) @ T0, sx))
 
     def newton_step(carry):
         it, T, _prev_delta, _score, done, rows_cache = carry

@@ -104,6 +104,79 @@ class TestShardedGICP:
                                    atol=2e-3)
 
 
+class TestShardedBlockedSweep:
+    def test_cell_blocked_matches_single_device(self, mesh8, rng):
+        """The PRODUCTION windowed-span blocked sweep (nn1_radius_blocked
+        — span slicing, 8-cell gathers, with_dst winner extraction) under
+        a mesh, at shapes over the 48 MB dense-table threshold with
+        131072-row spans (VERDICT r4 #4b)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pcl_tpu.parallel.icp_sharded import sharded_icp
+        from pcl_tpu.core import from_numpy
+        from pcl_tpu.registration.icp import icp
+
+        n = 32768
+        dims = (64, 64, 64)  # 262k cells, cap 12 -> 50 MB > 48 MB gate
+        pts = rng.uniform(0.0, 6.4, size=(n, 3)).astype(np.float32)
+        delta = np.float32([0.004, -0.003, 0.005])
+        dst_pts = pts + delta
+
+        T, mse, it = sharded_icp(
+            mesh8,
+            jax.device_put(jnp.asarray(pts),
+                           NamedSharding(mesh8, P("points", None))),
+            jax.device_put(jnp.ones(n, bool),
+                           NamedSharding(mesh8, P("points"))),
+            jax.device_put(jnp.asarray(dst_pts), NamedSharding(mesh8, P())),
+            jax.device_put(jnp.ones(n, bool), NamedSharding(mesh8, P())),
+            max_corr_dist=0.05, max_iterations=5,
+            corr_backend="cell_blocked", cell_cap=12, grid_dims=dims,
+        )
+        np.testing.assert_allclose(np.asarray(T)[:3, 3], delta, atol=5e-4)
+        # same shapes through the single-device blocked production path
+        res = icp(from_numpy(pts), from_numpy(dst_pts), max_corr_dist=0.05,
+                  max_iterations=5, cell_cap=12, grid_dims=dims)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(res.transform),
+                                   atol=1e-4)
+
+
+class TestShardedNDT:
+    def test_matches_single_device(self, mesh8, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pcl_tpu.parallel.ndt_sharded import sharded_ndt
+        from pcl_tpu.core import from_numpy
+        from pcl_tpu.registration.ndt import ndt
+
+        n = 2048
+        # volumetric cluster cloud so voxels collect >= min_points each
+        centers = rng.uniform(-4, 4, size=(24, 3)).astype(np.float32)
+        pts = (centers[rng.integers(0, 24, n)]
+               + rng.normal(scale=0.4, size=(n, 3))).astype(np.float32)
+        xi = np.array([0.08, -0.05, 0.06, 0.02, -0.015, 0.025], np.float32)
+        T_true = np.asarray(tf.se3_exp(jnp.asarray(xi)))
+        dst_pts = pts @ T_true[:3, :3].T + T_true[:3, 3]
+
+        kw = dict(resolution=1.5, max_iterations=30, step_size=0.5,
+                  table_size=1 << 14, min_points=4)
+        T, score, it = sharded_ndt(
+            mesh8,
+            jax.device_put(jnp.asarray(pts),
+                           NamedSharding(mesh8, P("points", None))),
+            jax.device_put(jnp.ones(n, bool),
+                           NamedSharding(mesh8, P("points"))),
+            jax.device_put(jnp.asarray(dst_pts),
+                           NamedSharding(mesh8, P())),
+            jax.device_put(jnp.ones(n, bool), NamedSharding(mesh8, P())),
+            **kw,
+        )
+        # recovers the true transform
+        np.testing.assert_allclose(np.asarray(T), T_true, atol=2e-2)
+        # and matches the single-device Newton loop (same math, psum'd)
+        res = ndt(from_numpy(pts), from_numpy(dst_pts), **kw)
+        np.testing.assert_allclose(np.asarray(T),
+                                   np.asarray(res.transform), atol=5e-3)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys, os
