@@ -40,3 +40,4 @@ from pcl_tpu.recognition.global_pipeline import (
     segment_scene_clusters,
     render_views,
 )
+from pcl_tpu.recognition.linemod_io import save_templates, load_templates

@@ -6,7 +6,7 @@ import argparse, sys
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Detect LINEMOD templates")
     ap.add_argument("scene", help="organized PCD with rgb")
-    ap.add_argument("templates", nargs="+", help=".npz template files")
+    ap.add_argument("templates", nargs="+", help=".npz template files or reference-format .lmt/.sqmmt files")
     ap.add_argument("-threshold", type=float, default=0.75)
     args = ap.parse_args(argv)
     import numpy as np
@@ -25,10 +25,14 @@ def main(argv=None):
     smaps = [np.asarray(spread_quantized_map(q)) for q in qmaps]
     templates = []
     for p in args.templates:
-        z = np.load(p)
-        templates.append(LinemodTemplate(
-            offsets=z["offsets"], bins=z["bins"], modality=z["modality"],
-            height=int(z["height"]), width=int(z["width"])))
+        if p.endswith((".lmt", ".sqmmt")):
+            from pcl_tpu.recognition.linemod_io import load_templates
+            templates.extend(load_templates(p))
+        else:
+            z = np.load(p)
+            templates.append(LinemodTemplate(
+                offsets=z["offsets"], bins=z["bins"], modality=z["modality"],
+                height=int(z["height"]), width=int(z["width"])))
     dets = detect_templates(smaps, templates, threshold=args.threshold)
     for d in dets:
         print(f"[linemod_detection] template={d.template_id} "

@@ -6,7 +6,7 @@ import argparse, sys
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Train a LINEMOD template")
     ap.add_argument("input", help="organized PCD with rgb")
-    ap.add_argument("output", help=".npz template")
+    ap.add_argument("output", help=".npz template, or .lmt/.sqmmt for the reference pcl::LINEMOD byte format")
     ap.add_argument("-region", type=int, nargs=4, metavar=("y0", "x0", "h", "w"),
                     default=None, help="defaults to the valid bounding box")
     ap.add_argument("-n_features", type=int, default=63)
@@ -31,8 +31,12 @@ def main(argv=None):
         region = tuple(args.region)
     t = extract_template([np.asarray(q) for q in qmaps], region,
                          n_features=args.n_features)
-    np.savez(args.output, offsets=t.offsets, bins=t.bins,
-             modality=t.modality, height=t.height, width=t.width)
+    if args.output.endswith((".lmt", ".sqmmt")):
+        from pcl_tpu.recognition.linemod_io import save_templates
+        save_templates(args.output, [t])
+    else:
+        np.savez(args.output, offsets=t.offsets, bins=t.bins,
+                 modality=t.modality, height=t.height, width=t.width)
     print(f"[train_linemod_template] region {region} -> "
           f"{len(t.offsets)} features")
     return 0

@@ -82,3 +82,62 @@ class TestLinemodMilkGolden:
         if others:
             assert others[0].score < dets[0].score - 0.05, \
                 (dets[0].score, others[0].score)
+
+
+class TestLinemodTemplateInterop:
+    """Reference-format template serialization (VERDICT r4 #7):
+    linemod.h:301 saveTemplates/loadTemplates byte layout
+    (sparse_quantized_multi_mod_template.h serialize/deserialize)."""
+
+    def test_roundtrip_bitexact(self, milk_frame, tmp_path):
+        from pcl_tpu.recognition.linemod_io import (save_templates,
+                                                    load_templates)
+        rgb, xyz, valid = milk_frame
+        qmaps = build_modality_maps(rgb, xyz, valid)
+        tpl = extract_template(qmaps, REGION, n_features=63, seed=0)
+        path = str(tmp_path / "milk.lmt")
+        save_templates(path, [tpl])
+        back = load_templates(path)
+        assert len(back) == 1
+        np.testing.assert_array_equal(back[0].offsets, tpl.offsets)
+        np.testing.assert_array_equal(back[0].bins, tpl.bins)
+        np.testing.assert_array_equal(back[0].modality, tpl.modality)
+        assert (back[0].height, back[0].width) == (tpl.height, tpl.width)
+
+    def test_reference_bytes_parse(self, tmp_path):
+        """A file hand-assembled with the reference's exact field layout
+        (int32 x, int32 y, uint64 modality_index, uint8 quantized_value;
+        RegionXY int32 x/y/w/h) must load to the right template."""
+        import struct
+        from pcl_tpu.recognition.linemod_io import load_templates
+        raw = struct.pack("<i", 1)                    # nr_templates
+        raw += struct.pack("<i", 2)                   # num_features
+        raw += struct.pack("<iiQB", 7, 3, 0, 1 << 5)  # x=7 y=3 mod=0 bin5
+        raw += struct.pack("<iiQB", 2, 9, 1, 1 << 0)  # x=2 y=9 mod=1 bin0
+        raw += struct.pack("<iiii", 0, 0, 100, 120)   # region
+        path = tmp_path / "ref.sqmmt"
+        path.write_bytes(raw)
+        ts = load_templates(str(path))
+        assert len(ts) == 1
+        np.testing.assert_array_equal(ts[0].offsets, [[3, 7], [9, 2]])
+        np.testing.assert_array_equal(ts[0].bins, [5, 0])
+        np.testing.assert_array_equal(ts[0].modality, [0, 1])
+        assert (ts[0].height, ts[0].width) == (120, 100)
+
+    def test_milk_detection_from_reference_format_file(self, milk_frame,
+                                                       tmp_path):
+        """End-to-end: template written in the reference byte format,
+        loaded back, detects the milk carton at the trained location."""
+        from pcl_tpu.recognition.linemod_io import (save_templates,
+                                                    load_templates)
+        rgb, xyz, valid = milk_frame
+        qmaps = build_modality_maps(rgb, xyz, valid)
+        tpl = extract_template(qmaps, REGION, n_features=63, seed=0)
+        path = str(tmp_path / "milk.sqmmt")
+        save_templates(path, [tpl])
+        dets = line_rgbd_detect(rgb, xyz, valid, load_templates(path),
+                                threshold=0.8)
+        assert dets, "no detection from reference-format template"
+        best = dets[0]
+        assert abs(best.y - REGION[0]) <= 4 and abs(best.x - REGION[1]) <= 4
+        assert best.score >= 0.95
