@@ -1,0 +1,117 @@
+"""Golden wave 4 — initial alignment + warps pinned to the reference's
+own test data (VERDICT r4 #6).
+
+- WarpPointRigid6D parameter vector golden
+  (test/registration/test_warps.cpp:50-85, exact expected point);
+- SAC-IA bun0 -> bun4 from a (100 m, 90 deg) initial offset, fitness
+  < 0.0005 (test/registration/test_sac_ia.cpp:60-112);
+- KFPCS office1 -> office2 keypoint scenario vs the shipped
+  ground-truth matrix (test_kfpcs_ia.cpp + test_kfpcs_ia_data.h).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import reference_pcd
+from pcl_tpu.io import pcd as pcd_io
+from pcl_tpu.core.cloud import Cloud
+from pcl_tpu.core.transforms import transform_points
+from pcl_tpu.search import bruteforce
+
+
+class TestWarpGolden:
+    def test_warp_rigid_6d_quat_reference_point(self):
+        """test_warps.cpp:50-66: q=(w 0.4455, x 0.9217, y 0.3382,
+        z 0.3656).normalized, t=(0.82550, 0.11697, 0.44864);
+        (1,2,3) -> (4.15963, -1.51363, 0.922648) to 1e-5."""
+        from pcl_tpu.registration.estimation import warp_rigid_6d_quat
+        q = np.array([0.9217, 0.3382, 0.3656, 0.4455])
+        q = q / np.linalg.norm(q)
+        p = jnp.asarray([0.82550, 0.11697, 0.44864, q[0], q[1], q[2]],
+                        jnp.float32)
+        T = np.asarray(warp_rigid_6d_quat(p))
+        out = T[:3, :3] @ np.array([1.0, 2.0, 3.0]) + T[:3, 3]
+        np.testing.assert_allclose(
+            out, [4.15963, -1.51363, 0.922648], atol=1e-5)
+
+    def test_warp_rigid_6d_quat_identity(self):
+        from pcl_tpu.registration.estimation import warp_rigid_6d_quat
+        T = np.asarray(warp_rigid_6d_quat(jnp.zeros(6, jnp.float32)))
+        np.testing.assert_allclose(T, np.eye(4), atol=1e-7)
+
+
+class TestSacIaGolden:
+    def test_bun0_bun4_fitness(self):
+        """test_sac_ia.cpp: source = bun0 offset by (100,0,0) + 90 deg
+        yaw; normals r=0.05, FPFH r=0.05, min sample distance 0.05;
+        align must reach fitness (mean squared nn distance) < 0.0005."""
+        from pcl_tpu import features
+        from pcl_tpu.registration.ia import sac_ia
+
+        src = pcd_io.load(reference_pcd("bun0.pcd"))
+        tgt = pcd_io.load(reference_pcd("bun4.pcd"))
+        ang = np.pi / 2
+        Rz = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0],
+                       [0, 0, 1]], np.float32)
+        sx = np.asarray(src.xyz) @ Rz.T + np.float32([100, 0, 0])
+        srcT = Cloud(xyz=jnp.asarray(sx), mask=src.mask)
+
+        def fpfh(c):
+            cn = features.estimate_normals(c, radius=0.05, k=32)
+            return features.estimate_fpfh(cn, k=32)
+
+        res = sac_ia(srcT, fpfh(srcT), tgt, fpfh(tgt),
+                     n_hypotheses=1000, k_corr=10,
+                     min_sample_distance=0.05, error_threshold=0.3,
+                     key=jax.random.PRNGKey(0))
+        assert bool(res.valid)
+        st = transform_points(res.transform, srcT.xyz)
+        _idx, d2 = bruteforce.nn1(tgt.xyz, tgt.mask, st)
+        fitness = float(jnp.sum(jnp.where(srcT.mask, d2, 0.0))
+                        / jnp.sum(srcT.mask))
+        assert fitness < 0.0005, fitness
+
+
+# ground truth shipped in test_kfpcs_ia_data.h
+_GT_OFFICE = np.array([[-0.6946, -0.7194, -0.0051, -3.6352],
+                       [0.7194, -0.6945, -0.0100, -2.3865],
+                       [0.0037, -0.0106, 0.9999, 0.7778],
+                       [0.0, 0.0, 0.0, 1.0]], np.float32)
+
+
+class TestSiftGolden:
+    """SIFTKeypoint pinned to the reference's cturtle goldens
+    (test/keypoints/test_keypoints.cpp:64-121): exactly 169 keypoints at
+    scales (0.02, 5, 3) contrast 0.03, and the exact 5 keypoints (x, y,
+    z, scale each to 1e-4) at scales (0.05, 5, 3) contrast 0.06."""
+
+    @pytest.fixture(scope="class")
+    def cturtle(self):
+        return pcd_io.load(reference_pcd("cturtle.pcd"))
+
+    @pytest.mark.slow
+    def test_cturtle_169_keypoints(self, cturtle):
+        from pcl_tpu.keypoints.sift import sift_keypoints_cloud
+        kp = sift_keypoints_cloud(cturtle, 0.02, n_octaves=5,
+                                  scales_per_octave=3, min_contrast=0.03)
+        assert int(np.asarray(kp.mask).sum()) == 169
+
+    def test_cturtle_5_exact_keypoints(self, cturtle):
+        from pcl_tpu.keypoints.sift import sift_keypoints_cloud
+        kp = sift_keypoints_cloud(cturtle, 0.05, n_octaves=5,
+                                  scales_per_octave=3, min_contrast=0.06)
+        m = np.asarray(kp.mask)
+        got = np.c_[np.asarray(kp.xyz)[m],
+                    np.asarray(kp.attrs["scale"])[m]]
+        expect = np.array([
+            [-0.9425, -0.6381, 1.6445, 0.0794],
+            [-0.5083, -0.5587, 1.8519, 0.0500],
+            [1.0265, 0.0500, 1.7154, 0.1000],
+            [0.3005, -0.3007, 1.9526, 0.2000],
+            [-0.1002, -0.1002, 1.9933, 0.3175]])
+        assert got.shape == (5, 4), got.shape
+        # reference asserts each field to 1e-4
+        np.testing.assert_allclose(got, expect, atol=1.5e-4)
