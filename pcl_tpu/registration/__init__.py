@@ -51,7 +51,8 @@ from pcl_tpu.registration.estimation import (
     estimate_dual_quaternion, estimate_2d, estimate_3point, estimate_lm,
     warp_rigid_6d, warp_rigid_3d, warp_translation,
 )
-from pcl_tpu.registration.fpcs import fpcs_align, kfpcs_align
+from pcl_tpu.registration.fpcs import (fpcs_align, kfpcs_align,
+                                        fpcs4_align, fpcs4_align_host)
 from pcl_tpu.registration.variants import icp_nl, joint_icp
 from pcl_tpu.registration.validation import ValidationResult, validate_euclidean
 from pcl_tpu.registration.pyramid import (
@@ -63,7 +64,7 @@ from pcl_tpu.registration import rejection
 __all__ += [
     "estimate_dual_quaternion", "estimate_2d", "estimate_3point", "estimate_lm",
     "warp_rigid_6d", "warp_rigid_3d", "warp_translation",
-    "fpcs_align", "kfpcs_align",
+    "fpcs_align", "kfpcs_align", "fpcs4_align", "fpcs4_align_host",
     "icp_nl", "joint_icp",
     "ValidationResult", "validate_euclidean",
     "FeaturePyramid", "build_pyramid", "compare_pyramids",

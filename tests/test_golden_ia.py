@@ -115,3 +115,61 @@ class TestSiftGolden:
         assert got.shape == (5, 4), got.shape
         # reference asserts each field to 1e-4
         np.testing.assert_allclose(got, expect, atol=1.5e-4)
+
+
+class TestKfpcsGolden:
+    """KFPCS office1 -> office2 keypoint scenario pinned to the
+    reference's shipped data and tolerances (test_kfpcs_ia.cpp:56-102 +
+    test_kfpcs_ia_data.h): voxel_size/delta 0.1, approx overlap 0.9,
+    success = residual rotation < 0.1745 rad AND translation < 1.0 m vs
+    the shipped ground-truth matrix; like the reference, the alignment
+    may be repeated (the reference loops twice 'to increase probability
+    to ~99.99%'; the congruent-set draw is seeded here, so the retry
+    loop is deterministic)."""
+
+    @pytest.mark.slow
+    def test_office_keypoints_alignment(self):
+        from pcl_tpu.registration.fpcs import fpcs4_align_host
+        src = pcd_io.load(reference_pcd("office1_keypoints.pcd"))
+        tgt = pcd_io.load(reference_pcd("office2_keypoints.pcd"))
+        best = (np.inf, np.inf)
+        for attempt in range(3):
+            res = fpcs4_align_host(src, tgt, delta=0.1, overlap=0.9,
+                                   seed=attempt)
+            rest = np.linalg.solve(np.asarray(res.transform), _GT_OFFICE)
+            ang = np.arccos(np.clip((np.trace(rest[:3, :3]) - 1) / 2,
+                                    -1, 1))
+            tr = np.linalg.norm(rest[:3, 3])
+            best = min(best, (float(ang), float(tr)))
+            if ang < 0.1745 and tr < 1.0:
+                break
+        assert best[0] < 0.1745, best
+        assert best[1] < 1.0, best
+
+    def test_quad_congruent_sets_synthetic(self):
+        """Fast default-suite check of the 4PCS machinery: a rigidly
+        moved structured cloud must be recovered to high accuracy."""
+        from pcl_tpu.registration.fpcs import fpcs4_align_host
+        from pcl_tpu.core import transforms as tf
+
+        rng = np.random.default_rng(5)
+        n = 400
+        pts = np.column_stack([
+            rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+            0.3 * np.sin(rng.uniform(-3, 3, n))]).astype(np.float32)
+        xi = np.float32([0.4, -0.3, 0.2, 0.3, -0.2, 0.8])
+        T_true = np.asarray(tf.se3_exp(jnp.asarray(xi)))
+        dst = pts @ T_true[:3, :3].T + T_true[:3, 3]
+        src_c = Cloud(xyz=jnp.asarray(pts), mask=jnp.ones(n, bool))
+        tgt_c = Cloud(xyz=jnp.asarray(dst), mask=jnp.ones(n, bool))
+        res = fpcs4_align_host(src_c, tgt_c, delta=0.05, overlap=0.9,
+                               n_bases=16, seed=0)
+        assert bool(res.valid)
+        # coarse-alignment contract: inside the ICP convergence basin
+        np.testing.assert_allclose(np.asarray(res.transform), T_true,
+                                   atol=0.2)
+        from pcl_tpu.registration.icp import icp
+        ref = icp(src_c, tgt_c, max_corr_dist=0.5, max_iterations=30,
+                  init_transform=res.transform)
+        np.testing.assert_allclose(np.asarray(ref.transform), T_true,
+                                   atol=2e-3)
