@@ -25,3 +25,4 @@ from pcl_tpu.visualization.visualizer import (
     PointPickingEvent,
     MouseEvent,
 )
+from pcl_tpu.visualization.live import LiveViewer
