@@ -19,7 +19,16 @@ from pcl_tpu.recognition.linemod import (
     LinemodTemplate,
     LinemodDetection,
 )
-from pcl_tpu.recognition.ism import ISMModel, train_ism, find_objects
+from pcl_tpu.recognition.ism import (
+    ISMModel,
+    train_ism,
+    find_objects,
+    find_strongest_peaks,
+    save_ism_model,
+    load_ism_model,
+    simplify_cloud,
+    align_y_with_normal,
+)
 from pcl_tpu.recognition.orr import (
     trimmed_icp,
     obj_rec_ransac,

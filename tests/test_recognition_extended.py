@@ -12,6 +12,9 @@ from pcl_tpu.recognition import (
     detect_templates,
     train_ism,
     find_objects,
+    find_strongest_peaks,
+    save_ism_model,
+    load_ism_model,
     trimmed_icp,
     obj_rec_ransac,
     distance_map,
@@ -55,24 +58,56 @@ class TestLinemod:
 
 
 class TestISM:
-    def test_center_votes(self, rng):
-        # one object class: ring of points; descriptor = local angle embedding
-        def make_object(center):
-            th = np.linspace(0, 2 * np.pi, 40, endpoint=False)
-            pts = center + np.stack(
-                [np.cos(th), np.sin(th), np.zeros_like(th)], 1
-            ).astype(np.float32)
-            desc = np.stack([np.cos(th), np.sin(th)], 1).astype(np.float32)
-            return desc, pts
+    @staticmethod
+    def _ring(center):
+        th = np.linspace(0, 2 * np.pi, 40, endpoint=False)
+        pts = center + np.stack(
+            [np.cos(th), np.sin(th), np.zeros_like(th)], 1
+        ).astype(np.float32)
+        # +Y normals: alignYCoordWithNormal is the identity there, so the
+        # corresponding-keypoint votes land exactly on the object center
+        nrm = np.tile(np.float32([0.0, 1.0, 0.0]), (len(th), 1))
+        return pts, nrm
 
-        d1, p1 = make_object(np.array([0.0, 0, 0], np.float32))
-        model = train_ism([d1], [p1], [np.zeros(3, np.float32)], [0],
-                          n_clusters=8, sigma=0.15)
-        # scene: same object moved
-        d2, p2 = make_object(np.array([3.0, 1.0, 0], np.float32))
-        peaks = find_objects(model, d2, p2, target_class=0)
+    @staticmethod
+    def _feature_fn(pts, nrm):
+        # translation-invariant angle embedding about the cloud's centroid
+        c = pts.mean(axis=0)
+        th = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+        return np.stack(
+            [np.cos(th) + 2.0, np.sin(th) + 2.0], 1).astype(np.float32)
+
+    def test_center_votes(self, rng, tmp_path):
+        p1, n1 = self._ring(np.array([0.0, 0, 0], np.float32))
+        model = train_ism([p1], [n1], [0], self._feature_fn,
+                          sampling_size=0.05, n_clusters=8)
+        # per-class sigma from the centered cloud's extent (~radius/10)
+        sigma = float(model.sigmas[0])
+        assert 0.05 < sigma < 0.2
+
+        # reference text-format round trip
+        path = str(tmp_path / "ring.ism")
+        save_ism_model(model, path)
+        model2 = load_ism_model(path)
+        np.testing.assert_allclose(
+            model2.statistical_weights, model.statistical_weights,
+            rtol=1e-4)
+        np.testing.assert_allclose(
+            model2.directions_to_center, model.directions_to_center,
+            rtol=1e-4, atol=1e-6)
+        assert model2.clusters == model.clusters
+
+        # scene: same object moved; identical normals -> exact votes
+        p2, n2 = self._ring(np.array([3.0, 1.0, 0], np.float32))
+        votes, strengths, _ = find_objects(
+            model2, p2, n2, 0, self._feature_fn, sampling_size=0.05)
+        assert len(votes) > 0
+        peaks = find_strongest_peaks(
+            votes, strengths, 0, non_maxima_radius=sigma * 10.0,
+            sigma=sigma)
         assert peaks
         center, dens = peaks[0]
+        assert dens > 0
         assert np.linalg.norm(center - [3.0, 1.0, 0]) < 0.3
 
 
