@@ -28,7 +28,7 @@ from pcl_tpu.features.cvfh import (
 from pcl_tpu.features.gasd import estimate_gasd, estimate_gasd_color
 from pcl_tpu.features.integral_normals import integral_image_normals
 from pcl_tpu.features.shape_context import estimate_3dsc, estimate_usc
-from pcl_tpu.features.rops import estimate_rops
+from pcl_tpu.features.rops import estimate_rops, estimate_rops_mesh
 from pcl_tpu.features.lrf import board_lrf, flare_lrf
 from pcl_tpu.features.persistence import feature_persistence
 from pcl_tpu.features.narf import (
