@@ -26,13 +26,17 @@ from pcl_tpu.search import bruteforce
 _EPS = 1e-12
 
 
-def _fitted_z(xyz, mask, radius, k):
-    """Plane-fit z axis per point over the support radius."""
-    n = xyz.shape[0]
-    idx, d2, valid, _ = bruteforce.radius(xyz, mask, xyz, radius, cap=k)
+def _fitted_z(xyz, mask, radius, k, src_xyz=None, src_mask=None):
+    """Plane-fit z axis per query point over the support radius; neighbors
+    come from (src_xyz, src_mask) when given (search-surface mode)."""
+    if src_xyz is None:
+        src_xyz, src_mask = xyz, mask
+    n = src_xyz.shape[0]
+    idx, d2, valid, _ = bruteforce.radius(src_xyz, src_mask, xyz, radius,
+                                          cap=k)
     idxc = jnp.clip(idx, 0, n - 1)
     valid = valid & mask[:, None]
-    nbr = xyz[idxc]
+    nbr = src_xyz[idxc]
     nrm, _ = normals_from_neighborhoods(
         xyz, nbr, valid, jnp.zeros((3,), xyz.dtype))
     return nrm, idxc, valid, nbr
@@ -44,16 +48,31 @@ def board_lrf(
     radius: float,
     *,
     k: int = 64,
+    surface: Cloud = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """BOARD frames: x points to the neighbor whose NORMAL tilts most from
-    the local z (reference board.h computePointLRF)."""
-    if ATTR_NORMAL not in cloud.attrs:
+    the local z (reference board.h computePointLRF). ``surface`` is the
+    setSearchSurface analog: frames are computed at ``cloud``'s points
+    with neighborhoods + normals drawn from ``surface`` (the recognition
+    keypoint pattern — normals must live on the surface cloud there,
+    matching FeatureFromNormals' surface/normals pairing)."""
+    src = surface if surface is not None else cloud
+    if ATTR_NORMAL not in src.attrs:
         raise ValueError("board_lrf requires normals")
     xyz, mask = cloud.xyz, cloud.mask
-    normals = cloud.attrs[ATTR_NORMAL]
-    z, idxc, valid, nbr = _fitted_z(xyz, mask, radius, k)
+    normals = src.attrs[ATTR_NORMAL]
+    z, idxc, valid, nbr = _fitted_z(
+        xyz, mask, radius, k,
+        src_xyz=None if surface is None else src.xyz,
+        src_mask=None if surface is None else src.mask)
+    if surface is None:
+        own_normal = normals
+    else:
+        # the query is an exact surface point: its lane is the d=0 nearest
+        # neighbor (ascending-distance lists), so take lane 0's normal
+        own_normal = normals[idxc[:, 0]]
     # orient z with the point's own normal
-    flip = jnp.sum(z * normals, axis=-1) < 0
+    flip = jnp.sum(z * own_normal, axis=-1) < 0
     z = jnp.where(flip[:, None], -z, z)
     n_nbr = normals[idxc]                                 # [N,k,3]
     cos_dev = jnp.sum(n_nbr * z[:, None, :], axis=-1)

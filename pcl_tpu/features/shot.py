@@ -65,6 +65,8 @@ def estimate_shot(
     n_cos_bins: int = 11,
     backend: str = "auto",
     interpolated: bool = True,
+    surface: "Cloud" = None,
+    cell_cap: int = None,
 ) -> jax.Array:
     """SHOT descriptors [capacity, 352]. Requires normals.
 
@@ -73,9 +75,11 @@ def estimate_shot(
     cheaper hard-binned variant (not bit-compatible with the reference).
     ``backend`` follows the unified search auto-selector (cell list at
     scale). ``n_cos_bins`` other than 11 forces the hard variant (the
-    reference layout is fixed at 32 x 11)."""
+    reference layout is fixed at 32 x 11). ``surface`` = setSearchSurface
+    (interpolated path only)."""
     if interpolated and n_cos_bins == 11:
-        return estimate_shot_interpolated(cloud, radius, k=k, backend=backend)
+        return estimate_shot_interpolated(cloud, radius, k=k, backend=backend,
+                                          surface=surface, cell_cap=cell_cap)
     return estimate_shot_hard(cloud, radius, k=k, n_cos_bins=n_cos_bins,
                               backend=backend)
 
@@ -132,12 +136,14 @@ def estimate_shot_hard(
     return jnp.where((mask & ok)[:, None], out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "backend"))
+@partial(jax.jit, static_argnames=("k", "backend", "cell_cap"))
 def estimate_shot_interpolated(
     cloud: Cloud,
     radius: float,
     k: int = 128,
     backend: str = "auto",
+    surface: "Cloud" = None,
+    cell_cap: int = None,
 ) -> jax.Array:
     """Reference-EXACT SHOT352 — the DEFAULT ``estimate_shot`` path:
     quadrilinear interpolation + the reference's LRF, bin layout and
@@ -147,16 +153,23 @@ def estimate_shot_interpolated(
     follows the unified search auto-selector: at scale the cell list
     (cell_size = radius, 27-cell probe) supplies the same ascending-
     distance neighbor list as brute force, exact within ``radius`` when
-    no bucket truncates."""
-    if ATTR_NORMAL not in cloud.attrs:
+    no bucket truncates.
+
+    ``surface`` is the reference's setSearchSurface (feature.h:129): when
+    given, descriptors are computed at ``cloud``'s points but neighbor-
+    hoods and normals come from ``surface`` (keypoint-query SHOT, the
+    recognition-pipeline pattern of test_recognition_cg.cpp:205-215)."""
+    src = surface if surface is not None else cloud
+    if ATTR_NORMAL not in src.attrs:
         raise ValueError("estimate_shot requires normals")
     from pcl_tpu import search as search_mod
     from pcl_tpu.core import geometry
     xyz, mask = cloud.xyz, cloud.mask
-    normals = cloud.attrs[ATTR_NORMAL]
-    n = cloud.capacity
+    normals = src.attrs[ATTR_NORMAL]
+    n = src.capacity
+    nq = cloud.capacity
     nb = 10                                 # nr_shape_bins (desc = 32*11)
-    organized = (cloud.height > 1 and cloud.width > 1
+    organized = (surface is None and cloud.height > 1 and cloud.width > 1
                  and cloud.width * cloud.height == cloud.capacity)
     if backend == "auto" and organized:
         # organized frames: window-bounded image-neighborhood search (the
@@ -168,8 +181,13 @@ def estimate_shot_interpolated(
         idx, d2, valid = org_mod.self_knn(
             xyz.reshape(H, W, 3), mask.reshape(H, W), k, window=win)
     else:
+        # bucket capacity must track k: the default cap (24) silently
+        # drops near neighbors in dense buckets (a 241k scene at
+        # r=0.015 holds ~200 points/cell), which corrupts descriptors
+        cap = max(24, k) if cell_cap is None else cell_cap
         idx, d2, valid = search_mod.knn(
-            cloud, xyz, k, backend=backend, cell_size=radius)[:3]
+            src, xyz, k, backend=backend, cell_size=radius,
+            cell_cap=cap)[:3]
     r2 = jnp.float32(radius) ** 2
     # invalid lanes may carry inf sqdist; make them finite so the masked
     # interpolation weights below stay nan-free (0 * inf poisons scatters)
@@ -178,7 +196,7 @@ def estimate_shot_interpolated(
     idxc = jnp.clip(idx, 0, n - 1)
     # ONE packed gather for coords + normals: two separate [N*k]-row
     # gathers from [N,3] operands were 120 ms/op at the 307k milk frame
-    packed = jnp.concatenate([xyz, normals], axis=1)        # [N,6]
+    packed = jnp.concatenate([src.xyz, normals], axis=1)    # [N,6]
     pg = packed[idxc]                                       # [N,k,6]
     nbr = pg[..., :3]
     nrm_nbr = pg[..., 3:6]
@@ -294,12 +312,12 @@ def estimate_shot_interpolated(
     # T = hi*32 + lo, hist[hi,lo] = sum_m (W*OH_hi)[m,hi] * OH_lo[m,lo] —
     # N tiny [11,M]@[M,32] MXU matmuls, no sort, no scatter.
     M = T.shape[1] * T.shape[2]
-    Tf = T.reshape(n, M)
-    Wf = W.reshape(n, M)
+    Tf = T.reshape(nq, M)
+    Wf = W.reshape(nq, M)
     oh_hi = jax.nn.one_hot(Tf // 32, 11, dtype=jnp.float32)   # [N,M,11]
     oh_lo = jax.nn.one_hot(Tf % 32, 32, dtype=jnp.float32)    # [N,M,32]
     hist = jnp.einsum("nmh,nml->nhl", oh_hi * Wf[..., None], oh_lo,
-                      preferred_element_type=jnp.float32).reshape(n, 352)
+                      preferred_element_type=jnp.float32).reshape(nq, 352)
     nrm_h = jnp.maximum(jnp.linalg.norm(hist, axis=-1, keepdims=True), _EPS)
     out = hist / nrm_h
     # fewer than 5 LRF neighbors -> NaN frame in the reference; zero here

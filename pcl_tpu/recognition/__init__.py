@@ -6,6 +6,8 @@ consistency, Hough voting) and greedy hypothesis verification.
 from pcl_tpu.recognition.grouping import (
     geometric_consistency_grouping,
     hough3d_grouping,
+    refine_grouping_sac,
+    GroupingResult,
 )
 from pcl_tpu.recognition.verification import greedy_hypothesis_verification
 from pcl_tpu.recognition.linemod import (
