@@ -51,8 +51,8 @@ def normals_from_neighborhoods(
     return n, curvature
 
 
-@partial(jax.jit, static_argnames=("k", "backend"))
-def estimate_normals(
+@partial(jax.jit, static_argnames=("k", "backend", "cell_cap"))
+def _estimate_normals_jit(
     cloud: Cloud,
     k: int = 16,
     viewpoint: Optional[jax.Array] = None,
@@ -60,6 +60,7 @@ def estimate_normals(
     backend: str = "auto",
     cell_size: Optional[float] = None,
     radius: Optional[float] = None,
+    cell_cap: int = 24,
 ) -> Cloud:
     """Attach 'normal' and 'curvature' attrs computed from k-NN neighborhoods.
 
@@ -104,7 +105,8 @@ def estimate_normals(
     else:
         from pcl_tpu import search as search_mod
         idx, d2, valid = search_mod.knn(
-            surf, cloud.xyz, k, backend=backend, cell_size=cell_size)
+            surf, cloud.xyz, k, backend=backend, cell_size=cell_size,
+            cell_cap=cell_cap)
     nbr = surf.xyz[jnp.clip(idx, 0, surf.capacity - 1)]
     nbr_valid = valid & cloud.mask[:, None]
     if radius is not None:
@@ -113,6 +115,46 @@ def estimate_normals(
     n = jnp.where(cloud.mask[:, None], n, 0.0)
     c = jnp.where(cloud.mask, c, 0.0)
     return cloud.with_attrs(**{ATTR_NORMAL: n, ATTR_CURVATURE: c})
+
+
+def estimate_normals(
+    cloud: Cloud,
+    k: int = 16,
+    viewpoint: Optional[jax.Array] = None,
+    surface: Optional[Cloud] = None,
+    backend: str = "auto",
+    cell_size: Optional[float] = None,
+    radius: Optional[float] = None,
+    cell_cap: Optional[int] = None,
+) -> Cloud:
+    """Attach 'normal' and 'curvature' attrs computed from k-NN
+    neighborhoods (see _estimate_normals_jit for the parameter docs).
+
+    When the cell backend will carry the search (big unorganized cloud)
+    and the inputs are concrete, the bucket capacity is auto-probed from
+    the cloud's measured density (search.auto_cell_cap) so nonuniform
+    clouds don't silently truncate neighbor lists — the fixed default cap
+    corrupted normals by up to 60 deg on a 241k organized-scan compaction
+    (r5 milk-scene investigation). Inside jit (tracer inputs) the probe
+    is skipped; pass ``cell_cap`` explicitly there."""
+    if cell_cap is None:
+        surf = surface if surface is not None else cloud
+        organized = (surface is None and cloud.height > 1 and cloud.width > 1
+                     and cloud.width * cloud.height == cloud.capacity)
+        concrete = not isinstance(cloud.xyz, jax.core.Tracer)
+        engages_cell = backend == "cell" or (
+            backend == "auto" and not organized
+            and surf.capacity * cloud.capacity > 1e9)
+        if concrete and engages_cell:
+            from pcl_tpu import search as search_mod
+            probed_size, cell_cap = search_mod.auto_cell_params(
+                surf, k, cell_size)
+            if cell_size is None:
+                cell_size = probed_size
+    return _estimate_normals_jit(
+        cloud, k=k, viewpoint=viewpoint, surface=surface, backend=backend,
+        cell_size=cell_size, radius=radius,
+        cell_cap=24 if cell_cap is None else cell_cap)
 
 
 def flip_normals_towards_viewpoint(cloud: Cloud, viewpoint: jax.Array) -> Cloud:

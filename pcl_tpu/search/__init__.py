@@ -84,6 +84,73 @@ def knn_density_radius(xyz: jax.Array, mask: jax.Array, k: int) -> jax.Array:
     return jnp.cbrt(2.0 * k * 3.0 * vol / (4.0 * jnp.pi * n))
 
 
+def _occupancy_cap(x, r, limit):
+    import numpy as np
+    ijk = np.floor(x / r).astype(np.int64)
+    ijk -= ijk.min(0)
+    dims = ijk.max(0) + 1
+    key = (ijk[:, 2] * dims[1] + ijk[:, 1]) * dims[0] + ijk[:, 0]
+    occ = int(np.bincount(np.unique(key, return_inverse=True)[1]).max())
+    cap = 24
+    while cap < occ and cap < limit:
+        cap *= 2
+    return int(min(cap, limit))
+
+
+def auto_cell_params(target, k: int, cell_size: Optional[float] = None,
+                     limit: int = 512,
+                     sample: int = 2000) -> Tuple[float, int]:
+    """HOST-side density probe: (cell_size, bucket_cap) that make the cell
+    backend exact for this cloud's kNN.
+
+    The bbox-volume density heuristic (``knn_density_radius``) assumes
+    points fill the volume; real scans are SURFACES inside a mostly-empty
+    frustum, so it oversizes cells by orders of magnitude (the 241k milk
+    scene put thousands of points in one "~20-point" cell; k=10 neighbor
+    lists were ~100% truncation-flagged and normals disagreed with brute
+    force by up to 60 deg). Measure instead: sample the k-th-neighbor
+    distance with a host kd-tree and take its 95th percentile as the cell
+    size (the 27-cell probe then covers the k-ball for ~all queries), then
+    bincount voxel occupancy at that size for the bucket cap (power of
+    two, floored at 24, capped at ``limit``). Call OUTSIDE jit (concrete
+    arrays only) and pass the results as ``cell_size``/``cell_cap``."""
+    import numpy as np
+    xyz, mask = _unpack(target)
+    x = np.asarray(xyz)[np.asarray(mask)]
+    if len(x) <= k + 1:
+        return (float(cell_size) if cell_size is not None else 1.0, 24)
+    if cell_size is None:
+        from scipy.spatial import cKDTree
+        tree = cKDTree(x)
+        step = max(1, len(x) // sample)
+        d, _ = tree.query(x[::step], k + 1)
+        r = float(np.percentile(d[:, -1], 95.0))
+        r = max(r, 1e-6)
+    else:
+        r = float(cell_size)
+    return r, _occupancy_cap(x, r, limit)
+
+
+def auto_cell_cap(target, k: int, cell_size: Optional[float] = None,
+                  limit: int = 512) -> int:
+    """Bucket capacity that fits this cloud's measured occupancy at the
+    given cell size (see auto_cell_params; uses the bbox density radius
+    when no cell size is given — prefer auto_cell_params, which also
+    fixes the radius for surface-like clouds)."""
+    import numpy as np
+    xyz, mask = _unpack(target)
+    x = np.asarray(xyz)[np.asarray(mask)]
+    if len(x) == 0:
+        return 24
+    if cell_size is None:
+        lo, hi = x.min(0), x.max(0)
+        vol = float(np.prod(np.maximum(hi - lo, 1e-6)))
+        r = float(np.cbrt(2.0 * k * 3.0 * vol / (4.0 * np.pi * len(x))))
+    else:
+        r = float(cell_size)
+    return _occupancy_cap(x, r, limit)
+
+
 def _unpack(target) -> Tuple[jax.Array, jax.Array]:
     if isinstance(target, Cloud):
         return target.xyz, target.mask
