@@ -7,7 +7,7 @@ from pcl_tpu.core.cloud import (
     compact,
     compact_indices,
 )
-from pcl_tpu.core import geometry, transforms
+from pcl_tpu.core import geometry, transforms, spring
 
 __all__ = [
     "Cloud",
@@ -19,4 +19,5 @@ __all__ = [
     "compact_indices",
     "geometry",
     "transforms",
+    "spring",
 ]

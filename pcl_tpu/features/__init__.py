@@ -29,6 +29,15 @@ from pcl_tpu.features.gasd import estimate_gasd, estimate_gasd_color
 from pcl_tpu.features.integral_normals import integral_image_normals
 from pcl_tpu.features.shape_context import estimate_3dsc, estimate_usc
 from pcl_tpu.features.rops import estimate_rops, estimate_rops_mesh
+from pcl_tpu.features.organized_edge import (
+    organized_edge_detection,
+    edge_label_indices,
+    EDGELABEL_NAN_BOUNDARY,
+    EDGELABEL_OCCLUDING,
+    EDGELABEL_OCCLUDED,
+    EDGELABEL_HIGH_CURVATURE,
+    EDGELABEL_RGB_CANNY,
+)
 from pcl_tpu.features.lrf import board_lrf, flare_lrf
 from pcl_tpu.features.persistence import feature_persistence
 from pcl_tpu.features.narf import (

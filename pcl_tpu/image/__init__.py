@@ -12,4 +12,14 @@ from pcl_tpu.image.ops import (
     erode,
     dilate,
     canny,
+    canny_from_gradients,
+)
+from pcl_tpu.image.extractors import (
+    extract_normal_image,
+    extract_rgb_image,
+    extract_label_image,
+    extract_z_image,
+    extract_curvature_image,
+    extract_intensity_image,
+    bearing_angle_image,
 )

@@ -84,7 +84,21 @@ def canny(
     non-max suppression along the quantized gradient direction ->
     hysteresis via iterated dilation of the strong set over the weak set."""
     sm = gaussian_blur(img.astype(jnp.float32), size, sigma)
-    gx, gy, mag = sobel(sm)
+    gx, gy, _ = sobel(sm)
+    return canny_from_gradients(gx, gy, low, high)
+
+
+def canny_from_gradients(
+    gx: jax.Array,
+    gy: jax.Array,
+    low: float,
+    high: float,
+) -> jax.Array:
+    """Canny NMS + hysteresis over CALLER-SUPPLIED gradient images (the
+    reference pcl::Edge::canny(input_x, input_y, ...) entry point used by
+    OrganizedEdgeFromNormals, which feeds the normal-component images as
+    gradients)."""
+    mag = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.arctan2(gy, gx)                  # [-pi, pi]
     # quantize direction to 0/45/90/135
     a = jnp.mod(jnp.round(ang / (jnp.pi / 4.0)), 4).astype(jnp.int32)
