@@ -7,7 +7,7 @@ from pcl_tpu.core.cloud import (
     compact,
     compact_indices,
 )
-from pcl_tpu.core import geometry, transforms, spring
+from pcl_tpu.core import geometry, transforms, spring, intersections
 
 __all__ = [
     "Cloud",
@@ -20,4 +20,5 @@ __all__ = [
     "geometry",
     "transforms",
     "spring",
+    "intersections",
 ]
