@@ -155,6 +155,8 @@ class SphereModel(SacModel):
     Minimal solve: 4 points -> linear system from the algebraic sphere form."""
     sample_size: int = 4
     coeff_size: int = 4
+    radius_min: float = 0.0
+    radius_max: float = float("inf")
 
     def fit(self, samples, normals=None):
         # |p|^2 = 2 c.p + (r^2 - |c|^2): solve A [2c; k] with A=[p, 1]
@@ -168,7 +170,9 @@ class SphereModel(SacModel):
         r2 = x[..., 3] + jnp.sum(c * c, axis=-1)
         r = jnp.sqrt(jnp.maximum(r2, 0.0))
         coeffs = jnp.concatenate([c, r[..., None]], axis=-1)
-        ok = det_ok & (r2 > 0)
+        # setRadiusLimits (sac_model.h:378 isModelValid): hypotheses with
+        # out-of-range radius are rejected outright
+        ok = det_ok & (r2 > 0) & (r >= self.radius_min) & (r <= self.radius_max)
         return jnp.where(ok[..., None], coeffs, jnp.nan)
 
     def distances(self, coeffs, xyz):
@@ -254,6 +258,8 @@ class CylinderModel(SacModel):
     sample_size: int = 2
     coeff_size: int = 7
     needs_normals: bool = True
+    radius_min: float = 0.0
+    radius_max: float = float("inf")
 
     def fit(self, samples, normals=None):
         if normals is None:
@@ -279,7 +285,9 @@ class CylinderModel(SacModel):
         perp = r0 - jnp.sum(r0 * d, axis=-1, keepdims=True) * d
         r = jnp.linalg.norm(perp, axis=-1, keepdims=True)
         coeffs = jnp.concatenate([axis_pt, d, r], axis=-1)
-        return jnp.where((bad | (den < 1e-12))[..., None], jnp.nan, coeffs)
+        bad = bad | (den < 1e-12) | (r[..., 0] < self.radius_min) \
+            | (r[..., 0] > self.radius_max)
+        return jnp.where(bad[..., None], jnp.nan, coeffs)
 
     def distances(self, coeffs, xyz):
         p = coeffs[..., None, :3]
@@ -307,6 +315,8 @@ class Circle2DModel(SacModel):
     sac_model_circle.h — operates on x/y, ignoring z)."""
     sample_size: int = 3
     coeff_size: int = 3
+    radius_min: float = 0.0
+    radius_max: float = float("inf")
 
     def fit(self, samples, normals=None):
         p = samples[..., :2]
@@ -323,6 +333,7 @@ class Circle2DModel(SacModel):
         c = p0 + jnp.stack([ux, uy], axis=-1)
         r = jnp.linalg.norm(c - p0, axis=-1)
         coeffs = jnp.concatenate([c, r[..., None]], axis=-1)
+        bad = bad | (r < self.radius_min) | (r > self.radius_max)
         return jnp.where(bad[..., None], jnp.nan, coeffs)
 
     def distances(self, coeffs, xyz):
