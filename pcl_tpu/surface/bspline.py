@@ -354,6 +354,42 @@ class BSplineCurve2D(NamedTuple):
     control: jax.Array   # [G, 2] control points (closed: wraps mod G)
 
 
+def create_mesh_indices(seg_x: int, seg_y: int, vidx: int = 0):
+    """Grid triangulation in the reference's exact order
+    (on_nurbs/triangulation.cpp Triangulation::createIndices): per quad
+    (j, i) two triangles (i0, i1, i2) and (i0, i2, i3) over a
+    (seg_x + 1)-wide vertex grid, quads row-major. Returns
+    [2 * seg_x * seg_y, 3] int32."""
+    import numpy as np
+    j, i = np.meshgrid(np.arange(seg_y), np.arange(seg_x), indexing="ij")
+    j = j.reshape(-1)
+    i = i.reshape(-1)
+    i0 = vidx + (seg_x + 1) * j + i
+    i1 = i0 + 1
+    i2 = vidx + (seg_x + 1) * (j + 1) + i + 1
+    i3 = i2 - 1
+    t1 = np.stack([i0, i1, i2], 1)
+    t2 = np.stack([i0, i2, i3], 1)
+    return np.stack([t1, t2], 1).reshape(-1, 3).astype(np.int32)
+
+
+def convert_surface_to_mesh(surf: BSplineSurface, resolution: int):
+    """(vertices [(r+1)^2, 3], triangles [2 r^2, 3]): the fitted surface
+    evaluated on its full parameter domain at the given resolution, with
+    the reference's vertex order (row j outer, column i inner —
+    Triangulation::convertSurface2PolygonMesh / createVertices) and
+    triangle index order (createIndices)."""
+    import numpy as np
+    r = resolution
+    u = np.linspace(0.0, 1.0, r + 1, dtype=np.float32)
+    uu, vv = np.meshgrid(u, u, indexing="ij")   # j over rows = v? see below
+    # createVertices: outer loop j over y (v), inner i over x (u)
+    uv = np.stack([np.tile(u, r + 1),                    # i / x fast
+                   np.repeat(u, r + 1)], 1)              # j / y slow
+    verts = eval_bspline_surface(surf, jnp.asarray(uv))
+    return verts, create_mesh_indices(r, r)
+
+
 @partial(jax.jit, static_argnames=("n_control",))
 def fit_bspline_curve2d(
     points: jax.Array,

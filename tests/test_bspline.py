@@ -2,6 +2,7 @@
 surface/on_nurbs fitting examples)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pcl_tpu.core.cloud import Cloud, from_numpy
@@ -143,3 +144,42 @@ class TestIteratedPDM:
                                [1.0, 0.0]])
         out = np.asarray(trimmed_surface_contains(ts, corners))
         assert out.sum() <= 1, out
+
+
+class TestSurfaceMesh:
+    def test_reference_triangulation_order(self):
+        """Pins from reference test/surface/test_on_nurbs.cpp:89-103:
+        convertSurface2PolygonMesh at resolution 256 yields 131072
+        triangles; polygons 10/200/1000 have these exact vertex ids."""
+        from pcl_tpu.surface.bspline import create_mesh_indices
+        tri = np.asarray(create_mesh_indices(256, 256))
+        assert tri.shape == (131072, 3)
+        np.testing.assert_array_equal(tri[10], [5, 6, 263])
+        np.testing.assert_array_equal(tri[200], [100, 101, 358])
+        np.testing.assert_array_equal(tri[1000], [501, 502, 759])
+
+    @pytest.mark.slow
+    def test_bun0_pdm_fit_to_mesh(self):
+        """End-to-end on the reference test's own input (bun0.pcd):
+        iterated-PDM surface fit + full-domain mesh conversion; the mesh
+        vertices stay near the data (height-field fit) and the topology
+        matches the reference's grid."""
+        from conftest import reference_pcd
+        from pcl_tpu.io import pcd as pcd_io
+        from pcl_tpu.surface.bspline import (
+            fit_bspline_surface_iterated, convert_surface_to_mesh)
+        c = pcd_io.load(reference_pcd("bun0.pcd"))
+        xyz = np.asarray(c.xyz)[np.asarray(c.mask)]
+        from pcl_tpu.core.cloud import make_cloud
+        surf = fit_bspline_surface_iterated(
+            make_cloud(jnp.asarray(xyz)), 10, 10, iterations=3)
+        verts, tri = convert_surface_to_mesh(surf, 16)
+        verts = np.asarray(verts)
+        assert verts.shape == (17 * 17, 3)
+        assert tri.shape == (2 * 16 * 16, 3)
+        assert np.isfinite(verts).all()
+        # surface interpolates the data footprint: median distance of the
+        # data to its nearest mesh vertex is small vs the bunny extent
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(verts).query(xyz)
+        assert np.median(d) < 0.01, np.median(d)
