@@ -46,6 +46,8 @@ from pcl_tpu.surface.bspline import (
     fit_bspline_surface,
     eval_bspline_surface,
     fit_bspline_curve2d,
+    fit_bspline_curve3d,
+    eval_bspline_curve3d,
     eval_bspline_curve2d,
     fit_bspline_surface_iterated,
     fit_trimmed_bspline_surface,

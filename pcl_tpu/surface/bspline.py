@@ -427,6 +427,65 @@ def fit_bspline_curve2d(
     return BSplineCurve2D(control=ctrl)
 
 
+class BSplineCurve3D(NamedTuple):
+    control: jax.Array   # [G, 3] control points (closed: wraps mod G)
+    centroid: jax.Array  # [3]
+    frame: jax.Array     # [3, 3] PCA rows (parameterization plane)
+
+
+@partial(jax.jit, static_argnames=("n_control",))
+def fit_bspline_curve3d(
+    points: jax.Array,
+    mask: jax.Array,
+    n_control: int = 12,
+    smoothness: float = 1e-2,
+) -> BSplineCurve3D:
+    """Closed cubic B-spline SPACE curve fit (the reference's
+    on_nurbs::FittingCurve / example_nurbs_fitting_closed_curve3d):
+    points are parameterized by angle in their PCA-dominant plane, the
+    [G, 3] control polygon solved in closed form with a periodic
+    second-difference prior — the 3-D generalization of
+    fit_bspline_curve2d (same normal equations, one extra column)."""
+    w = mask.astype(jnp.float32)
+    n = jnp.maximum(w.sum(), 1.0)
+    mu = (points * w[:, None]).sum(0) / n
+    d = (points - mu) * w[:, None]
+    cov = d.T @ d / n
+    _, V = jnp.linalg.eigh(cov)                # ascending
+    frame = V[:, ::-1].T                       # rows: major, mid, normal
+    local = (points - mu) @ frame.T
+    theta = jnp.arctan2(local[:, 1], local[:, 0])
+    t = (theta / (2 * jnp.pi) + 0.5) * n_control
+    i0 = jnp.floor(t).astype(jnp.int32)
+    B = _cubic_basis(t - i0)
+    G = n_control
+    A = jnp.zeros((points.shape[0], G), jnp.float32)
+    for a in range(4):
+        A = A.at[jnp.arange(points.shape[0]),
+                 jnp.mod(i0 + a - 1, G)].add(B[:, a] * w)
+    ii = jnp.arange(G)
+    D = (jnp.eye(G) * 2.0
+         - jnp.eye(G)[jnp.mod(ii + 1, G)]
+         - jnp.eye(G)[jnp.mod(ii - 1, G)])
+    reg = smoothness * jnp.maximum(n / G, 1.0)
+    M = A.T @ A + reg * (D.T @ D) + 1e-6 * jnp.eye(G)
+    ctrl = jnp.linalg.solve(M, A.T @ (points * w[:, None]))
+    return BSplineCurve3D(control=ctrl, centroid=mu, frame=frame)
+
+
+@jax.jit
+def eval_bspline_curve3d(curve: BSplineCurve3D, t: jax.Array) -> jax.Array:
+    """Evaluate the closed space curve at parameters t in [0,1) -> [M,3]."""
+    G = curve.control.shape[0]
+    s = t * G
+    i0 = jnp.floor(s).astype(jnp.int32)
+    B = _cubic_basis(s - i0)
+    out = jnp.zeros((t.shape[0], 3), jnp.float32)
+    for a in range(4):
+        out = out + B[:, a:a + 1] * curve.control[jnp.mod(i0 + a - 1, G)]
+    return out
+
+
 @jax.jit
 def eval_bspline_curve2d(curve: BSplineCurve2D, t: jax.Array) -> jax.Array:
     """Evaluate the closed curve at parameters t in [0,1) -> [M,2]."""

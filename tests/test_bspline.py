@@ -183,3 +183,27 @@ class TestSurfaceMesh:
         from scipy.spatial import cKDTree
         d, _ = cKDTree(verts).query(xyz)
         assert np.median(d) < 0.01, np.median(d)
+
+
+class TestCurve3D:
+    def test_closed_curve3d_on_fixture(self):
+        """Closed space-curve fit on the reference's shipped curve3d.pcd
+        (example_nurbs_fitting_closed_curve3d.cpp input)."""
+        from conftest import reference_pcd
+        from pcl_tpu.io import pcd as pcd_io
+        from pcl_tpu.surface import fit_bspline_curve3d, eval_bspline_curve3d
+        from scipy.spatial import cKDTree
+        c = pcd_io.load(reference_pcd("curve3d.pcd"))
+        pts = np.asarray(c.xyz)[np.asarray(c.mask)]
+        curve = fit_bspline_curve3d(
+            jnp.asarray(pts), jnp.ones(len(pts), bool), n_control=24)
+        t = jnp.asarray(np.linspace(0, 1, 300, endpoint=False), jnp.float32)
+        out = np.asarray(eval_bspline_curve3d(curve, t))
+        assert np.isfinite(out).all()
+        extent = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+        d, _ = cKDTree(pts).query(out)
+        assert d.mean() < 0.05 * extent, (d.mean(), extent)
+        # curve closes: t=0 and t->1 meet
+        p0 = np.asarray(eval_bspline_curve3d(curve, jnp.asarray([0.0])))
+        p1 = np.asarray(eval_bspline_curve3d(curve, jnp.asarray([0.999])))
+        assert np.linalg.norm(p0 - p1) < 0.05 * extent
