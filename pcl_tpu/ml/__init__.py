@@ -5,6 +5,14 @@ linear case), and kernel density/CRF-adjacent helpers.
 """
 
 from pcl_tpu.ml.kmeans import kmeans
+from pcl_tpu.ml.svm_prob import (
+    PlattScaling,
+    platt_calibrate,
+    platt_probability,
+    svm_train_probability,
+    svm_predict_probability,
+    svm_cross_validation,
+)
 from pcl_tpu.ml.svm import (
     SVMModel,
     svm_train,
@@ -12,7 +20,7 @@ from pcl_tpu.ml.svm import (
     svm_train_dual,
     svm_classify_dual,
 )
-from pcl_tpu.ml.svm_io import load_libsvm_model, save_libsvm_model
+from pcl_tpu.ml.svm_io import load_libsvm_model, save_libsvm_model, load_libsvm_probability
 from pcl_tpu.ml.trees import (
     Fern,
     train_fern,

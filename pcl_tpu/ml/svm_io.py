@@ -96,7 +96,34 @@ def load_libsvm_model(path: str) -> SVMModel:
     )
 
 
-def save_libsvm_model(path: str, model: SVMModel) -> None:
+def load_libsvm_probability(path: str):
+    """The model file's Platt sigmoid (probA/probB headers), adjusted to
+    OUR sign convention (positive decision = label +1): libsvm's sigmoid
+    gives p(label[0] | f); when the file's first label is -1 the loader
+    negates the decision values, so the equivalent sigmoid for p(+1)
+    is (A, -B). Returns PlattScaling or None when the model carries no
+    probability information."""
+    from pcl_tpu.ml.svm_prob import PlattScaling
+    header: Dict[str, List[str]] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line == "SV":
+                break
+            parts = line.split()
+            if parts:
+                header[parts[0]] = parts[1:]
+    if "probA" not in header or "probB" not in header:
+        return None
+    A = float(header["probA"][0])
+    B = float(header["probB"][0])
+    labels = [int(v) for v in header.get("label", ["1", "-1"])]
+    if labels[0] < 0:
+        B = -B
+    return PlattScaling(A, B)
+
+
+def save_libsvm_model(path: str, model: SVMModel, platt=None) -> None:
     """Write an SVMModel as a libsvm model file the reference can load.
 
     Dual (kernel-expansion) models write their support set + dual coefs.
@@ -146,6 +173,9 @@ def save_libsvm_model(path: str, model: SVMModel) -> None:
         f.write(f"total_sv {len(rows)}\n")
         f.write(f"rho {rho:.17g}\n")
         f.write("label 1 -1\n")
+        if platt is not None:
+            f.write(f"probA {platt.A:.17g}\n")
+            f.write(f"probB {platt.B:.17g}\n")
         npos = sum(1 for c, _ in rows if c > 0)
         f.write(f"nr_sv {npos} {len(rows) - npos}\n")
         f.write("SV\n")

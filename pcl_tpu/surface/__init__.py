@@ -48,6 +48,8 @@ from pcl_tpu.surface.bspline import (
     fit_bspline_curve2d,
     fit_bspline_curve3d,
     eval_bspline_curve3d,
+    create_mesh_indices,
+    convert_surface_to_mesh,
     eval_bspline_curve2d,
     fit_bspline_surface_iterated,
     fit_trimmed_bspline_surface,
