@@ -28,6 +28,15 @@ from pcl_tpu.octree.linear import (
     at_depth,
 )
 from pcl_tpu.octree.ray import ray_intersected_voxels, approx_nearest_search
+from pcl_tpu.octree.iterators import (
+    OctreeNode,
+    leaf_iterator,
+    depth_first_iterator,
+    breadth_first_iterator,
+    fixed_depth_iterator,
+    leaf_breadth_first_iterator,
+    node_counts_per_depth,
+)
 from pcl_tpu.octree.containers import (
     adjacency,
     OccupancyGrid,
