@@ -64,6 +64,43 @@ def _pad(cloud: Cloud, amount: int, axis: int, mode: str,
     return _rebuild(cloud, xyz2, mask2, attrs2, h2, w2)
 
 
+def copy_make_border(cloud: Cloud, top: int, bottom: int, left: int,
+                     right: int, policy: str = "constant",
+                     value=None) -> Cloud:
+    """Asymmetric border expansion (pcl::copyPointCloud borders,
+    common/include/pcl/common/copy_point.h family — pinned by
+    test/common/test_copy_make_borders.cpp): grow the organized cloud by
+    (top, bottom) rows and (left, right) columns filled by ``policy``:
+    'constant' (the fill ``value`` point), 'replicate' (edge), or
+    'reflect' (mirror)."""
+    h, w = _grid(cloud)
+    xyz = cloud.xyz.reshape(h, w, 3)
+    mask = cloud.mask.reshape(h, w)
+    attrs = {k: v.reshape((h, w) + v.shape[1:])
+             for k, v in cloud.attrs.items()}
+    pw2 = ((top, bottom), (left, right))
+    if policy == "constant":
+        f = jnp.zeros((3,), jnp.float32) if value is None             else jnp.asarray(value, jnp.float32)
+        xyz2 = jnp.pad(xyz, pw2 + ((0, 0),))
+        h2, w2 = h + top + bottom, w + left + right
+        border = jnp.ones((h2, w2), bool).at[
+            top:top + h, left:left + w].set(False)
+        xyz2 = jnp.where(border[..., None], f, xyz2)
+        mask2 = jnp.pad(mask, pw2, constant_values=True)
+        attrs2 = {k: jnp.pad(v, pw2 + ((0, 0),) * (v.ndim - 2))
+                  for k, v in attrs.items()}
+    elif policy in ("replicate", "reflect"):
+        mode = "edge" if policy == "replicate" else "symmetric"
+        xyz2 = jnp.pad(xyz, pw2 + ((0, 0),), mode=mode)
+        mask2 = jnp.pad(mask, pw2, mode=mode)
+        attrs2 = {k: jnp.pad(v, pw2 + ((0, 0),) * (v.ndim - 2), mode=mode)
+                  for k, v in attrs.items()}
+    else:
+        raise ValueError(f"unknown border policy {policy!r}")
+    return _rebuild(cloud, xyz2, mask2, attrs2,
+                    h + top + bottom, w + left + right)
+
+
 def expand_rows(cloud: Cloud, fill, amount: int) -> Cloud:
     """Add ``amount`` rows of the fill point on top and bottom
     (spring.h:57 expandRows)."""

@@ -132,3 +132,28 @@ class TestBearingAngle:
         img = bearing_angle_image(c)
         np.testing.assert_array_equal(
             img.reshape(-1), [0, 0, 0, 112, 80, 0])
+
+
+class TestCopyMakeBorder:
+    def test_constant(self):
+        from pcl_tpu.core.spring import copy_make_border
+        c, xyz = _organized(3, 4)
+        fill = np.float32([7, 7, 7])
+        out = copy_make_border(c, 1, 2, 3, 1, "constant", fill)
+        assert out.height == 6 and out.width == 8
+        g = np.asarray(out.xyz).reshape(6, 8, 3)
+        np.testing.assert_array_equal(g[1:4, 3:7], xyz)
+        assert (g[0] == 7).all() and (g[4:] == 7).all()
+        assert (g[:, :3][1:4] == 7).all() and (g[:, 7:][1:4] == 7).all()
+
+    def test_replicate_and_reflect(self):
+        from pcl_tpu.core.spring import copy_make_border
+        c, xyz = _organized(3, 4, seed=2)
+        rep = copy_make_border(c, 1, 0, 0, 2, "replicate")
+        g = np.asarray(rep.xyz).reshape(4, 6, 3)
+        np.testing.assert_array_equal(g[0, :4], xyz[0])      # top replicated
+        np.testing.assert_array_equal(g[1:, 4], g[1:, 3])    # right edge
+        ref = copy_make_border(c, 0, 2, 1, 0, "reflect")
+        g2 = np.asarray(ref.xyz).reshape(5, 5, 3)
+        np.testing.assert_array_equal(g2[:3, 0], xyz[:, 0])  # mirror col 0
+        np.testing.assert_array_equal(g2[3, 1:], xyz[2])     # mirror row H-1
