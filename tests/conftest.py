@@ -10,7 +10,8 @@ import os
 # client init, so setting it here works).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
@@ -33,6 +34,27 @@ def reference_pcd(name: str) -> str:
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# A single pytest process compiles ~1000 XLA:CPU executables over the
+# suite; past several hundred LIVE executables, LLVM codegen segfaults
+# inside backend_compile_and_load (rc=-11; reproduced at four different
+# tests purely by position — ~test #600 — with every test green in a
+# fresh process; serializing codegen via
+# --xla_cpu_parallel_codegen_split_count=1 did NOT help). Bounding the
+# number of live executables by clearing jax's compilation caches every
+# N tests keeps the JIT below the crash threshold; later tests recompile
+# what they share (a few extra seconds total).
+_TESTS_PER_CACHE_EPOCH = 75
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bound_live_executables():
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _TESTS_PER_CACHE_EPOCH == 0:
+        jax.clear_caches()
 
 
 # ---------------------------------------------------------------------------
